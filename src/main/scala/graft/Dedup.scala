@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.candidates.Candidates
+import graft.cluster.ConnectedComponents
+import graft.keys.Keys
+import graft.resolve.Resolver
+import graft.schema.{DedupConfig, FilterConfig}
+
+/** The engine's main job — reference `find_duplicates_files_v3` +
+  * `process_duplicates` (/root/reference/duplicate_files_in_folders/
+  * duplicates_finder.py:129-214) re-expressed as one declarative plan:
+  *
+  *   filter → match key → candidate edges (exact ∪ caption-LSH ∪
+  *   pHash-Hamming ∪ containment) → connected components → cluster members
+  *   → window-ranked canonical election → actions table
+  *
+  * All stages are DataFrame transformations; the only materialization points
+  * are the CC iterations. Input must carry the §1.2 schema columns
+  * (image_id, bytes, fmt, caption, phash, role, mtime).
+  */
+object Dedup {
+
+  /** Reference `filter_files_by_args` (duplicates_finder.py:54-67): size
+    * range + extension whitelist/blacklist. Pure predicate → Catalyst pushes
+    * it into the Parquet scan. */
+  def filterRows(df: DataFrame, f: FilterConfig): DataFrame = {
+    var cond: Column = length(col("bytes")).between(f.minSize, f.maxSize)
+    f.whitelistExt.foreach(wl => cond = cond && col("fmt").isin(wl.toSeq: _*))
+    f.blacklistExt.foreach(bl => cond = cond && !col("fmt").isin(bl.toSeq: _*))
+    df.where(cond)
+  }
+
+  /** Candidate edges from every enabled source, unioned.
+    * Returns (edges(id1,id2,kind), metrics rows). */
+  def candidateEdges(df: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
+    val keyed = df.withColumn("key",
+      Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime")))
+    var edges = Candidates.exactEdges(keyed, "image_id", "key")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var metrics = Seq.empty[(String, Long, Long)].toDF("source", "capped_buckets", "dropped_rows")
+    if (cfg.enableCaptionLsh) {
+      val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
+      edges = edges.unionByName(e)
+      metrics = metrics.unionByName(
+        m.select(lit("caption_lsh").as("source"), col("capped_buckets"), col("dropped_rows")))
+    }
+    if (cfg.enablePhashHamming) {
+      val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
+      edges = edges.unionByName(e)
+      metrics = metrics.unionByName(
+        m.select(lit("phash_hamming").as("source"), col("capped_buckets"), col("dropped_rows")))
+    }
+    if (cfg.enableContainment) {
+      edges = edges.unionByName(
+        Candidates.containmentEdges(df, "image_id", "caption", cfg.near))
+    }
+    (edges.select("id1", "id2").distinct(), metrics)
+  }
+
+  /** Full clustering: every (filtered) row tagged with its duplicate
+    * cluster id (= min image_id of the connected component; singletons map
+    * to themselves). */
+  def clusterMembers(df: DataFrame, cfg: DedupConfig): DataFrame = {
+    val filtered = filterRows(df, cfg.filter)
+    val (edges, _) = candidateEdges(filtered, cfg)
+    val cc = ConnectedComponents.run(edges)
+    filtered
+      .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
+  }
+
+  /** End-to-end: actions table (image_id, role, cluster_id, disposition,
+    * target). The reference's dry-run semantics (file_manager.py:121-127):
+    * this table is always a *plan*; applying it is a separate commit step. */
+  def run(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
+    val members = clusterMembers(df, cfg)
+      .select("image_id", "role", "cluster_id")
+    Resolver.resolve(members, cfg.resolve)
+  }
+
+  /** Dup-pair view of the clustering (for recall metrics): all intra-cluster
+    * pairs of a members frame — only for small evaluation corpora. */
+  def clusterPairs(members: DataFrame): DataFrame = {
+    val a = members.select(col("cluster_id"), col("image_id").as("id1"))
+    val b = members.select(col("cluster_id"), col("image_id").as("id2"))
+    a.join(b, "cluster_id").where(col("id1") < col("id2")).select("id1", "id2")
+  }
+}

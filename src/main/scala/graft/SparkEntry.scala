@@ -1,13 +1,365 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cluster.ConnectedComponents
+import graft.gen.Corpus
+import graft.ops.{DocOps, EmbeddingOps}
+import graft.schema.{DedupConfig, NearDupConfig}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` exposes each implemented operator over the driver's parquet
+  * tables at `sfDir`; `oracleSql` is the DuckDB-dialect equivalent the
+  * driver cross-checks against. Column names are aligned between both sides
+  * (the driver compare sorts columns by name and hashes values); float
+  * aggregates go through exact decimal/integer arithmetic so both engines
+  * produce bit-identical values. Queries with no SQL-expressible oracle
+  * (LSH internals over xxhash64, image ops) are either verified against the
+  * brute-force oracle query (recall 1 at the table's planted similarities)
+  * or exposed rows-only.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full dedup pipeline (exact ∪ caption-LSH ∪ pHash-Hamming ∪
+    * containment → connected components → canonical election) on the
+    * deterministic synthetic image+caption corpus. Driver smoke-checks
+    * rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Dedup.run(Corpus.generate(spark, nClusters = 250, skewCopies = 50).toDF(),
+              DedupConfig())
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val docLsh = NearDupConfig(jaccardThreshold = 0.8)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (reference operator inventory, SURVEY.md §2) ----
+
+    // A1/A4: hash aggregate by key + summary counts (duplicates_finder.py:15-28)
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // P1: size-range + category filter, pushed to the scan (duplicates_finder.py:54-67)
+    "q_filter_pushdown" -> ((s, dir) =>
+      t(s, dir, "part")
+        .where(col("p_size").between(10, 30) &&
+               col("p_type").isin("ECONOMY", "PROMO") &&
+               !col("p_brand").isin("Brand#11", "Brand#12"))
+        .select("p_partkey", "p_name", "p_size", "p_type")
+        .orderBy("p_partkey")),
+
+    // J2: the duplicate equi-join, inner (duplicates_finder.py:161-170)
+    "q_join_agg" -> ((s, dir) =>
+      t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("c_mktsegment"))),
+
+    // J2-semi: scan rows having a ref match ("duplicates exist")
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // J2-anti: rows left in scan dir (utils_io.py:116)
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // J1: Bloom-filter pre-join (duplicates_finder.py:70-104) — engine builds
+    // a Bloom over the ref side, pre-filters scan, then confirms exactly; the
+    // confirmed output equals the exact semi-join (FPs eliminated), which is
+    // what the oracle checks.
+    "q_bloom_prejoin" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val bf = orders.stat.bloomFilter("o_custkey", 10000L, 0.05)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightMatch = udf((k: Long) => bfB.value.mightContain(k))
+      cust.where(mightMatch(col("c_custkey")))
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // W1/W2: window-ranked canonical election per blocked group
+    // (duplicates_finder.py:172-175,194)
+    "canonical_election" -> ((s, dir) => {
+      val grp = Window.partitionBy(col("lang"), col("source"))
+      val w = grp.orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("grp_n", count(lit(1)).over(grp))
+        .where(col("grp_n") > 1 && col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("grp_n").as("dup_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // J3: positional zip-join — scan rank k pairs with ref rank k inside each
+    // block (duplicates_finder.py:209-212)
+    "q_zip_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("role", when(pmod(col("n_chars"), lit(2)) === 0, "ref").otherwise("scan"))
+      val w = Window.partitionBy(col("lang"), col("source"), col("role"))
+        .orderBy(col("doc_id"))
+      val ranked = docs.withColumn("rn", row_number().over(w))
+      ranked.where(col("role") === "scan")
+        .select(col("lang"), col("source"), col("rn"), col("doc_id").as("scan_id"))
+        .join(ranked.where(col("role") === "ref")
+          .select(col("lang"), col("source"), col("rn"), col("doc_id").as("ref_id")),
+          Seq("lang", "source", "rn"))
+        .select("scan_id", "ref_id").orderBy("scan_id")
+    }),
+
+    // T2: upsert/latest-wins per key (hash cache merge, hash_manager.py:117-135)
+    "q_latest_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("user_id", "event_id", "event_type").orderBy("user_id")
+    }),
+
+    // T4: TTL expiry filter (clean_expired_cache, hash_manager.py:180-191)
+    "q_ttl_filter" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // S3-shape: per-day per-type report aggregation
+    "q_daily_report" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")),
+
+    // ---- exact dedup over documents (reference core semantics) ----
+
+    "exact_dup_groups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+        .where(col("n_dups") > 1)
+        .orderBy(col("text_hash"))),
+
+    // ---- training-data dedup / analysis ops ----
+
+    // n-gram Jaccard near-dup pairs (brute-force via shared-shingle blocking)
+    "q_jaccard_pairs" -> ((s, dir) =>
+      DocOps.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 80)
+        .orderBy("doc1", "doc2")),
+
+    // MinHash+LSH near-dup pairs, Jaccard-verified — at the planted
+    // similarities (≥0.9) LSH recall is 1-4e-8, so output = q_jaccard_pairs ids
+    "q_minhash_lsh_pairs" -> ((s, dir) =>
+      DocOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
+        .orderBy("doc1", "doc2")),
+
+    // duplicate clusters: connected components over verified near-dup edges
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80)
+        .select(col("doc1"), col("doc2"))
+      val cc = ConnectedComponents.run(edges)
+      docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // containment pass (short text ⊂ long text), first-shingle blocked
+    "q_containment_pairs" -> ((s, dir) =>
+      DocOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("short_id", "long_id")),
+
+    "q_token_stats" -> ((s, dir) =>
+      DocOps.tokenStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_quality_score" -> ((s, dir) =>
+      DocOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      DocOps.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      DocOps.fingerprint(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")),
+
+    // ---- similarity search over embeddings ----
+
+    // brute-force top-1 neighbor (quantized integer dot), label-blocked
+    "q_embed_top1" -> ((s, dir) =>
+      EmbeddingOps.top1WithinLabel(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy("vec_id"))
+  )
+
+  def oracleSql: Map[String, String] = {
+    // shared DuckDB CTE: normalized distinct 3-shingles per document
+    val shingleCte =
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |                i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS s
+        |  FROM docs),
+        |n AS (SELECT doc_id, count(*) AS nt FROM sh GROUP BY 1),
+        |jp AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_inter
+        |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT doc1, doc2, n_inter, na.nt + nb.nt - n_inter AS n_union
+        |  FROM jp JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
+        |  WHERE n_inter * 100 >= (na.nt + nb.nt - n_inter) * 80)
+        |""".stripMargin
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_filter_pushdown" ->
+        """SELECT p_partkey, p_name, p_size, p_type FROM part
+          |WHERE p_size BETWEEN 10 AND 30 AND p_type IN ('ECONOMY','PROMO')
+          |  AND p_brand NOT IN ('Brand#11','Brand#12')
+          |ORDER BY p_partkey""".stripMargin,
+      "q_join_agg" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_semi_join" ->
+        "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1",
+      "q_anti_join" ->
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1",
+      "q_bloom_prejoin" ->
+        "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1",
+      "canonical_election" ->
+        """SELECT doc_id, lang, source, dup_count FROM (
+          |  SELECT doc_id, lang, source,
+          |         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+          |         count(*) OVER (PARTITION BY lang, source) AS dup_count
+          |  FROM documents) WHERE dup_count > 1 AND rn = 1 ORDER BY doc_id""".stripMargin,
+      "q_zip_join" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, lang, source,
+          |         CASE WHEN n_chars % 2 = 0 THEN 'ref' ELSE 'scan' END AS role,
+          |         row_number() OVER (
+          |           PARTITION BY lang, source, CASE WHEN n_chars % 2 = 0 THEN 'ref' ELSE 'scan' END
+          |           ORDER BY doc_id) AS rn
+          |  FROM documents)
+          |SELECT s.doc_id AS scan_id, r.doc_id AS ref_id
+          |FROM ranked s JOIN ranked r
+          |  ON s.lang = r.lang AND s.source = r.source AND s.rn = r.rn
+          | AND s.role = 'scan' AND r.role = 'ref'
+          |ORDER BY scan_id""".stripMargin,
+      "q_latest_event" ->
+        """SELECT user_id, event_id, event_type FROM (
+          |  SELECT user_id, event_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "q_ttl_filter" ->
+        """SELECT event_type, count(*) AS n FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1 ORDER BY 1""".stripMargin,
+      "q_daily_report" ->
+        """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "exact_dup_groups" ->
+        """SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+          |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+      "q_jaccard_pairs" ->
+        (shingleCte + "SELECT doc1, doc2, n_inter, n_union FROM jpairs ORDER BY doc1, doc2"),
+      "q_minhash_lsh_pairs" ->
+        (shingleCte + "SELECT doc1, doc2 FROM jpairs ORDER BY doc1, doc2"),
+      "q_dup_clusters" ->
+        (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          """, edges AS (
+            |  SELECT doc1 AS a, doc2 AS b FROM jpairs
+            |  UNION SELECT doc2, doc1 FROM jpairs),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            |  WHERE r.a <> e.b),
+            |clusters AS (
+            |  SELECT a AS doc_id, least(a, min(b)) AS cid FROM reach GROUP BY a)
+            |SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS cluster_id
+            |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+            |ORDER BY d.doc_id""".stripMargin),
+      "q_containment_pairs" ->
+        """WITH norm AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nc
+          |  FROM documents)
+          |SELECT a.doc_id AS short_id, b.doc_id AS long_id
+          |FROM norm a JOIN norm b
+          |  ON a.doc_id <> b.doc_id AND len(b.nc) > len(a.nc)
+          | AND position(' ' || a.nc || ' ' IN ' ' || b.nc || ' ') > 0
+          | AND len(string_split(a.nc, ' ')) >= 3
+          |ORDER BY short_id, long_id""".stripMargin,
+      "q_token_stats" ->
+        """SELECT doc_id,
+          |  len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS n_tokens,
+          |  len(list_distinct(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))) AS n_distinct_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q_quality_score" ->
+        """WITH tt AS (
+          |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS t
+          |  FROM documents)
+          |SELECT doc_id, len(t) AS n_tokens,
+          |  CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to','in','or'))) * 100 // len(t) AS BIGINT) AS stopword_pct,
+          |  CAST(len(list_distinct(t)) * 100 // len(t) AS BIGINT) AS distinct_pct,
+          |  CAST(list_sum(list_transform(t, x -> len(x))) * 100 // len(t) AS BIGINT) AS avg_token_len_x100
+          |FROM tt ORDER BY doc_id""".stripMargin,
+      "q_lang_id" ->
+        """SELECT doc_id,
+          |  CASE WHEN nc LIKE '%the %' OR nc LIKE '% the%' THEN 'en'
+          |       WHEN nc LIKE '%le %' OR nc LIKE '%la %' THEN 'fr'
+          |       ELSE 'und' END AS lang_guess
+          |FROM (SELECT doc_id, trim(regexp_replace(lower(text),'\s+',' ','g')) AS nc FROM documents)
+          |ORDER BY doc_id""".stripMargin,
+      "q_fingerprint" ->
+        """WITH docs AS (
+          |  SELECT doc_id, string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS toks
+          |  FROM documents)
+          |SELECT doc_id,
+          |  list_min(list_transform(
+          |    list_distinct(list_transform(range(0, greatest(len(toks)-2, 0)),
+          |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))),
+          |    s -> md5(s))) AS fingerprint
+          |FROM docs ORDER BY doc_id""".stripMargin,
+      "q_embed_top1" ->
+        """WITH q AS (
+          |  SELECT vec_id, label,
+          |         unnest(list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS v,
+          |         unnest(range(1, len(embedding) + 1)) AS i
+          |  FROM embeddings),
+          |dots AS (
+          |  SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, CAST(sum(a.v * b.v) AS BIGINT) AS dot_q
+          |  FROM q a JOIN q b ON a.i = b.i AND a.label = b.label AND a.vec_id <> b.vec_id
+          |  GROUP BY 1, 2)
+          |SELECT vec_id, nn_id, dot_q FROM (
+          |  SELECT vec_id, nn_id, dot_q,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nn_id ASC) AS rn
+          |  FROM dots) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    )
+  }
 }

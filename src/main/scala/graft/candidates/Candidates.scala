@@ -1,0 +1,174 @@
+package graft.candidates
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.keys.Keys
+import graft.schema.NearDupConfig
+
+/** Candidate-pair generation. Output contract for every source: DataFrame
+  * `(id1, id2, kind)` with `id1 < id2`, distinct — the union feeds
+  * connected-components clustering.
+  *
+  * At 100 TB the invariant is: NEVER a cartesian product; every candidate
+  * source is an equi-join on a blocking key (exact key, LSH band hash,
+  * Hamming band, shingle block), so Spark shuffles each side once on that
+  * key and AQE handles residual skew. Hot buckets are additionally capped
+  * with an explicit, logged truncation (reference analogue: the Bloom
+  * pre-filter bounded candidate work, duplicates_finder.py:70-104).
+  */
+object Candidates {
+
+  /** Pairs sharing an exact blocking key, bucket-capped.
+    *
+    * Instead of joining bucket×bucket (quadratic in bucket size), emit for
+    * each bucket only the star `representative—member` edges: connectivity
+    * is what clustering needs, and a star is the minimal edge set — turns
+    * the reference's grouped-lists-by-key shape (duplicates_finder.py:161-
+    * 175) into O(bucket) edges rather than O(bucket²). For *verified*
+    * near-dup sources we keep true pairs (each pair must pass its verify
+    * predicate) — see `pairsWithinBuckets`.
+    */
+  def starWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
+                        kind: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    keyed
+      .withColumn("_rep", min(idCol).over(w))
+      .where(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id1"), col(idCol).as("id2"), lit(kind).as("kind"))
+      .distinct()
+  }
+
+  /** All intra-bucket pairs (id1<id2) with a bucket-size cap. `keyed` must
+    * have `idCol` + `keyCols`. Returns (pairs, cappedBucketCount column via
+    * side metric DataFrame). Pairs from buckets larger than `cap` are
+    * truncated to the cap's first rows by id order — truncation is reported,
+    * never silent. */
+  def pairsWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
+                         cap: Int, kind: String): (DataFrame, DataFrame) = {
+    val ks = keyCols.map(col)
+    val w = Window.partitionBy(ks: _*).orderBy(col(idCol))
+    val ranked = keyed
+      .select((keyCols :+ idCol).map(col): _*)
+      .distinct()
+      .withColumn("_rn", row_number().over(w))
+    val capped = ranked.where(col("_rn") <= cap)
+    val metrics = ranked
+      .groupBy(ks: _*).agg(max("_rn").as("bucket_size"))
+      .where(col("bucket_size") > cap)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("capped_buckets"),
+           coalesce(sum(col("bucket_size") - cap), lit(0L)).as("dropped_rows"))
+    val a = capped.select(ks :+ col(idCol).as("id1") :+ col("_rn").as("_rn1"): _*)
+    val b = capped.select(ks :+ col(idCol).as("id2") :+ col("_rn").as("_rn2"): _*)
+    val pairs = a.join(b, keyCols)
+      .where(col("_rn1") < col("_rn2"))
+      .select(col("id1"), col("id2"), lit(kind).as("kind"))
+      .distinct()
+    (pairs, metrics)
+  }
+
+  /** Exact-duplicate edges: rows sharing the match key (already a struct
+    * column named `keyCol`). Star edges — exact groups can be huge (the
+    * skew block) and stars keep them linear. */
+  def exactEdges(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    starWithinBuckets(df.select(col(idCol), col(keyCol)), idCol, Seq(keyCol), "exact")
+
+  /** Caption-LSH candidates: explode band hashes → intra-bucket pairs →
+    * verify exact shingle-Jaccard ≥ threshold.
+    *
+    * Skew guards, in order: (1) exact-normalized-caption dedup BEFORE
+    * signatures — identical captions collapse to one representative, so the
+    * 1000-copy skew block costs one signature, not 10⁶ bucket pairs;
+    * (2) bucket cap with logged truncation. Representative edges are
+    * re-expanded afterwards (rep—member star per identical-caption group).
+    * Returns (edges, metrics). */
+  def captionLshEdges(df: DataFrame, idCol: String, captionCol: String,
+                      cfg: NearDupConfig): (DataFrame, DataFrame) = {
+    val norm = df.select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
+    // (1) collapse identical normalized captions
+    val repW = Window.partitionBy(col("_nc"))
+    val withRep = norm.withColumn("_rep", min(idCol).over(repW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sameCaption = withRep.where(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("caption_exact").as("kind"))
+    // materialize shingles BEFORE the 64-lane signature projection: the
+    // persist is an optimizer barrier, so each lane expression references the
+    // `_sh` attribute instead of inlining (and re-evaluating) shingle
+    // construction per lane
+    val shingled = withRep.where(col(idCol) === col("_rep"))
+      .select(col(idCol), Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"))
+      .where(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = shingled
+      .select(col(idCol),
+              posexplode(Keys.lshBandHashes(col("_sh"), cfg.lshBands, cfg.lshRowsPerBand))
+                .as(Seq("band_id", "band_hash")))
+    val (cand, metrics) = pairsWithinBuckets(
+      exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize, "caption_lsh")
+    // verify: join shingles back, exact Jaccard (integer-exact compare)
+    val sh = shingled
+    val verified = cand
+      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
+    val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
+    val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
+    val edges = verified
+      .where(inter * 100 >= union * thresholdPct)
+      .select(col("id1"), col("id2"), col("kind"))
+    (edges.unionByName(sameCaption), metrics)
+  }
+
+  /** pHash Hamming candidates: pigeonhole band blocking → verify
+    * bit_count(xor) ≤ radius. Returns (edges, metrics). */
+  def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
+                        cfg: NearDupConfig): (DataFrame, DataFrame) = {
+    // collapse identical phash first (same reasoning as captions)
+    val repW = Window.partitionBy(col(phashCol))
+    val withRep = df.select(col(idCol), col(phashCol))
+      .withColumn("_rep", min(idCol).over(repW))
+    val samePhash = withRep.where(col(idCol) =!= col("_rep"))
+      .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
+    val reps = withRep.where(col(idCol) === col("_rep"))
+      .select(col(idCol), col(phashCol))
+      .select(col(idCol), col(phashCol),
+              posexplode(Keys.hammingBands(col(phashCol), cfg.hammingBands))
+                .as(Seq("band_id", "band_val")))
+    val (cand, metrics) = pairsWithinBuckets(
+      reps.select(col(idCol), col("band_id"), col("band_val")),
+      idCol, Seq("band_id", "band_val"), cfg.maxBucketSize, "phash_hamming")
+    val ph = df.select(col(idCol), col(phashCol))
+    val edges = cand
+      .join(ph.select(col(idCol).as("id1"), col(phashCol).as("_p1")), "id1")
+      .join(ph.select(col(idCol).as("id2"), col(phashCol).as("_p2")), "id2")
+      .where(Keys.hammingDist(col("_p1"), col("_p2")) <= cfg.hammingRadius)
+      .select(col("id1"), col("id2"), col("kind"))
+    (edges.unionByName(samePhash), metrics)
+  }
+
+  /** Contained-caption candidates: short caption is a substring of a longer
+    * one. Blocking: a containment pair must share every shingle of the short
+    * side, so joining the short side's FIRST shingle against the long side's
+    * exploded shingle set is recall-lossless (for captions with ≥ k tokens).
+    * Verified with an exact `instr` check — never a cartesian product. */
+  def containmentEdges(df: DataFrame, idCol: String, captionCol: String,
+                       cfg: NearDupConfig): DataFrame = {
+    val norm = df
+      .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
+      .distinct()
+      .withColumn("_sh", Keys.shingles(col("_nc"), cfg.shingleK))
+      .where(size(col("_sh")) > 0)
+    val short = norm.select(col(idCol).as("sid"), col("_nc").as("s_nc"),
+                            element_at(col("_sh"), 1).as("block"))
+    val long = norm.select(col(idCol).as("lid"), col("_nc").as("l_nc"),
+                           explode(col("_sh")).as("block"))
+    short.join(long, "block")
+      .where(col("sid") =!= col("lid") &&
+             length(col("l_nc")) > length(col("s_nc")) &&
+             instr(col("l_nc"), col("s_nc")) > 0)
+      .select(least(col("sid"), col("lid")).as("id1"),
+              greatest(col("sid"), col("lid")).as("id2"),
+              lit("containment").as("kind"))
+      .distinct()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.keys.Keys
+import graft.schema.NearDupConfig
+
+/** Text-analysis + dedup operators over a documents table
+  * (doc_id, text, ...) — the training-data-pipeline ops (exact dedup,
+  * n-gram Jaccard, MinHash+LSH, containment, token/quality/lang-id/
+  * fingerprint) expressed as declarative plans. All join-shaped ops are
+  * blocked equi-joins (shared shingle / LSH bucket), never cartesian.
+  */
+object DocOps {
+
+  /** Distinct (doc_id, shingle) pairs — the blocking/verification unit. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+                explode(Keys.shingles(col(textCol), k)).as("s"))
+      .distinct()
+
+  /** Exact n-gram-Jaccard pairs ≥ thresholdPct/100, via shared-shingle
+    * blocking: only pairs sharing ≥1 shingle are ever materialized, and the
+    * intersection count falls out of the block join itself. Output:
+    * (doc1, doc2, n_inter, n_union). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, thresholdPct: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+    val inter = sh.select(col("doc_id").as("doc1"), col("s"))
+      .join(sh.select(col("doc_id").as("doc2"), col("s")), "s")
+      .where(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(n.select(col("doc_id").as("doc1"), col("nt").as("n1")), "doc1")
+      .join(n.select(col("doc_id").as("doc2"), col("nt").as("n2")), "doc2")
+      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
+      .select("doc1", "doc2", "n_inter", "n_union")
+  }
+
+  /** MinHash+LSH near-dup pairs, verified with exact Jaccard — the
+    * at-scale path: candidate generation is O(rows × bands) + bucket joins
+    * instead of the shared-shingle join of `jaccardPairs`. Output (doc1,
+    * doc2) — equal to `jaccardPairs` ids whenever LSH recall is 1 (the
+    * S-curve at the corpus' planted similarities makes misses ~1e-8). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      cfg: NearDupConfig): DataFrame = {
+    val (edges, _) = graft.candidates.Candidates.captionLshEdges(
+      docs.withColumnRenamed(idCol, "image_id"), "image_id", textCol, cfg)
+    edges.where(col("kind") === "caption_lsh")
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      .distinct()
+  }
+
+  /** Contained-text pairs: shorter text is a substring of the longer.
+    * First-shingle blocking (see Candidates.containmentEdges). Output
+    * (short_id, long_id). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val norm = docs
+      .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
+      .distinct()
+      .withColumn("_sh", Keys.shingles(col("_nc"), k))
+      .where(size(col("_sh")) > 0)
+    val short = norm.select(col("doc_id").as("short_id"), col("_nc").as("s_nc"),
+                            element_at(col("_sh"), 1).as("block"))
+    val long = norm.select(col("doc_id").as("long_id"), col("_nc").as("l_nc"),
+                           explode(col("_sh")).as("block"))
+    short.join(long, "block")
+      .where(col("short_id") =!= col("long_id") &&
+             length(col("l_nc")) > length(col("s_nc")) &&
+             instr(concat(lit(" "), col("l_nc"), lit(" ")),
+                   concat(lit(" "), col("s_nc"), lit(" "))) > 0)
+      .select("short_id", "long_id")
+      .distinct()
+  }
+
+  /** Token stats: n_tokens, n_distinct_tokens (whitespace tokenization,
+    * normalized). */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Keys.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+                size(toks).cast("long").as("n_tokens"),
+                size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "or")
+
+  /** Quality metrics, integer-exact (scaled percents via integer division —
+    * float-free so any SQL oracle computes bit-identical values):
+    * stopword_pct, distinct_pct, avg_token_len_x100. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Keys.tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), toks.as("_t"))
+      .select(
+        col("doc_id"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        expr(s"size(filter(_t, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(",")})))")
+          .as("_nstop"),
+        size(array_distinct(col("_t"))).as("_ndist"),
+        aggregate(col("_t"), lit(0L), (acc, x) => acc + length(x)).as("_chars"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        expr("_nstop * 100 DIV n_tokens").as("stopword_pct"),
+        expr("_ndist * 100 DIV n_tokens").as("distinct_pct"),
+        expr("_chars * 100 DIV n_tokens").as("avg_token_len_x100"))
+  }
+
+  /** n-gram-heuristic language ID: deterministic stopword-marker rule
+    * (the synthetic corpus has no real language signal; the operator shape —
+    * marker scan over normalized tokens — is what scales). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Keys.normCaption(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      when(t.contains("the ") || t.contains(" the"), lit("en"))
+        .when(t.contains("le ") || t.contains("la "), lit("fr"))
+        .otherwise(lit("und")).as("lang_guess"))
+  }
+
+  /** Document fingerprint: minimum md5 over the shingle set (one-lane
+    * MinHash — a winnowing-style content fingerprint stable under
+    * reordering of duplicate shingles). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      array_min(transform(Keys.shingles(col(textCol), k), s => md5(s)))
+        .as("fingerprint"))
+}

@@ -1,0 +1,99 @@
+package graft.resolve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.schema.ResolveConfig
+
+/** Duplicate-set resolution — the reference's `process_duplicates` +
+  * `clean_scan_dir_duplications`
+  * (/root/reference/duplicate_files_in_folders/duplicates_finder.py:180-214,
+  * 249-262) re-expressed as a window-ranked canonical-row election per
+  * cluster. The engine never mutates rows (reference guard: ref dirs are
+  * protected, file_manager.py:44-103); it emits an **actions table**:
+  *
+  *   (image_id, role, cluster_id, disposition, target)
+  *
+  * Semantics table (SURVEY.md §7.3):
+  *   - rows with role='ref'      → disposition 'keep'   (never mutated)
+  *   - scan rank-1 of a matched cluster → 'move', target = ref rank-1
+  *     (reference: first scan path moves to first ref path, by
+  *      lexicographic order — duplicates_finder.py:172-175,194,199)
+  *   - copyToAll: max(0, |ref|−|scan|) extra 'copy' actions from scan
+  *     rank-1 to each surplus ref location, then remaining scan copies
+  *     zip-move positionally to the leftover refs (duplicates_finder.py:
+  *     203-212) — a rank-equality join, J3
+  *   - other scan copies of a matched cluster → 'scan_dup'
+  *   - scan rows of clusters with no ref member → 'none' (left in place,
+  *     duplicates_finder.py:170)
+  */
+object Resolver {
+
+  /** @param members DataFrame (image_id, role, cluster_id) — every filtered
+    *                input row tagged with its duplicate cluster.
+    * @return actions DataFrame (image_id, role, cluster_id, disposition, target)
+    */
+  def resolve(members: DataFrame, cfg: ResolveConfig = ResolveConfig()): DataFrame = {
+    val w = Window.partitionBy("cluster_id", "role").orderBy("image_id")
+    val ranked = members
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ref",
+        sum(when(col("role") === "ref", 1).otherwise(0))
+          .over(Window.partitionBy("cluster_id")))
+      .withColumn("n_scan",
+        sum(when(col("role") === "scan", 1).otherwise(0))
+          .over(Window.partitionBy("cluster_id")))
+    val matched = col("n_ref") > 0 && col("n_scan") > 0
+
+    val refs = ranked.where(col("role") === "ref")
+      .select(col("cluster_id"), col("image_id").as("ref_id"), col("rn").as("ref_rn"))
+
+    // ref rows: always keep
+    val refActions = ranked.where(col("role") === "ref")
+      .select(col("image_id"), col("role"), col("cluster_id"),
+              lit("keep").as("disposition"), lit(null).cast("string").as("target"))
+
+    // unmatched scan rows (no ref in cluster): none
+    val unmatchedScan = ranked.where(col("role") === "scan" && !matched)
+      .select(col("image_id"), col("role"), col("cluster_id"),
+              lit("none").as("disposition"), lit(null).cast("string").as("target"))
+
+    val scanMatched = ranked.where(col("role") === "scan" && matched)
+
+    if (!cfg.copyToAll) {
+      // mover = scan rank-1 → ref rank-1; the rest are scan_dups
+      val mover = scanMatched.where(col("rn") === 1)
+        .join(refs.where(col("ref_rn") === 1), "cluster_id")
+        .select(col("image_id"), col("role"), col("cluster_id"),
+                lit("move").as("disposition"), col("ref_id").as("target"))
+      val dups = scanMatched.where(col("rn") > 1)
+        .select(col("image_id"), col("role"), col("cluster_id"),
+                lit("scan_dup").as("disposition"), lit(null).cast("string").as("target"))
+      refActions.unionByName(unmatchedScan).unionByName(mover).unionByName(dups)
+    } else {
+      // copy_to_all (duplicates_finder.py:203-212):
+      //   num_copy = max(0, n_ref - n_scan) — scan rank-1 copies to ref
+      //   ranks 1..num_copy, then scan ranks zip-move onto ref ranks
+      //   (num_copy+1 .. n_ref); scan ranks beyond n_ref are scan_dups.
+      val numCopy = greatest(lit(0), col("n_ref") - col("n_scan"))
+      val copies = scanMatched.where(col("rn") === 1)
+        .withColumn("k", numCopy)
+        .join(refs, "cluster_id")
+        .where(col("ref_rn") <= col("k"))
+        .select(col("image_id"), col("role"), col("cluster_id"),
+                lit("copy").as("disposition"), col("ref_id").as("target"))
+      val moves = scanMatched
+        .withColumn("zip_rn", col("rn") + numCopy)
+        .join(refs, "cluster_id")
+        .where(col("ref_rn") === col("zip_rn"))
+        .select(col("image_id"), col("role"), col("cluster_id"),
+                lit("move").as("disposition"), col("ref_id").as("target"))
+      val dups = scanMatched.where(col("rn") + numCopy > col("n_ref"))
+        .select(col("image_id"), col("role"), col("cluster_id"),
+                lit("scan_dup").as("disposition"), lit(null).cast("string").as("target"))
+      refActions.unionByName(unmatchedScan).unionByName(copies)
+        .unionByName(moves).unionByName(dups)
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft.state
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-shaped table facade (SURVEY.md §7.6).
+  *
+  * No Iceberg runtime jar is resolvable in this offline sandbox, so this
+  * layer provides the subset of table semantics the north_rule actually
+  * exercises — atomic-ish snapshot commits, resumable restart from the last
+  * committed snapshot, per-partition lineage + metrics — over plain Parquet
+  * plus a JSON snapshot manifest. All engine code goes through this facade;
+  * swapping in `iceberg-spark-runtime` is a one-line format change.
+  *
+  * Layout:  {root}/data/snap-{id}/part-*.parquet
+  *          {root}/_manifest.json   (atomic rename commit)
+  */
+object TableIO {
+
+  final case class Snapshot(id: Long, parent: Long, rows: Long, stage: String)
+
+  private def manifestPath(root: String) = Paths.get(root, "_manifest.json")
+
+  def lastSnapshot(root: String): Option[Snapshot] = {
+    val p = manifestPath(root)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      def field(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*([^,}\\s\"]+|\"[^\"]*\")").r
+          .findFirstMatchIn(s).map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+      for {
+        id <- field("id"); parent <- field("parent"); rows <- field("rows")
+        stage <- field("stage")
+      } yield Snapshot(id.toLong, parent.toLong, rows.toLong, stage)
+    }
+  }
+
+  /** Commit `df` as the next snapshot of table `root`. Writes data to a new
+    * snapshot directory, then atomically renames a manifest temp file over
+    * the live manifest — readers either see the old snapshot or the new one.
+    * Returns the committed snapshot. */
+  def commit(df: DataFrame, root: String, stage: String): Snapshot = {
+    val parent = lastSnapshot(root).map(_.id).getOrElse(-1L)
+    val id = parent + 1
+    val dataDir = s"$root/data/snap-$id"
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val rows = df.sparkSession.read.parquet(dataDir).count()
+    val snap = Snapshot(id, parent, rows, stage)
+    val json =
+      s"""{"id":$id,"parent":$parent,"rows":$rows,"stage":"$stage"}"""
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_manifest.json.tmp-$id")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** Read the last committed snapshot of `root`, if any. */
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+    lastSnapshot(root).map(s => spark.read.parquet(s"$root/data/snap-${s.id}"))
+
+  /** Resume-or-compute: if table `root`'s last snapshot was committed by
+    * `stage`, reuse it (resumable checkpointed restart); otherwise compute,
+    * commit, and return the re-read committed data. This is the engine's
+    * per-stage checkpoint boundary — also truncates lineage between pipeline
+    * stages, which the iterative stages need. */
+  def stageCheckpoint(spark: SparkSession, root: String, stage: String)
+                     (compute: => DataFrame): DataFrame =
+    lastSnapshot(root) match {
+      case Some(s) if s.stage == stage =>
+        spark.read.parquet(s"$root/data/snap-${s.id}")
+      case _ =>
+        val snap = commit(compute, root, stage)
+        spark.read.parquet(s"$root/data/snap-${snap.id}")
+    }
+}
+
+/** Persistent content-hash cache — the reference HashManager's pickle table
+  * (/root/reference/duplicate_files_in_folders/hash_manager.py:49-158):
+  * columns (image_id, hash_value, updated_at), TTL-expired rows dropped on
+  * save, upsert-by-id on merge. Engine form: MERGE-style union-dedup over
+  * the TableIO facade; the anti-join lets a run hash only cache misses
+  * (reference X7 adaptive strategy, duplicates_finder.py:164-167). */
+object HashCache {
+  val TtlDays = 28 // MAX_CACHE_TIME, hash_manager.py:16
+
+  /** Upsert `fresh` (image_id, hash_value, updated_at) into the cache at
+    * `root`: newest row per image_id wins; expired rows (older than the TTL
+    * relative to the newest updated_at present) are dropped. */
+  def merge(spark: SparkSession, root: String, fresh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val existing = TableIO.read(spark, root)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fresh.schema))
+    val unioned = existing.unionByName(fresh)
+    val w = Window.partitionBy("image_id").orderBy(col("updated_at").desc, col("hash_value"))
+    val merged = unioned
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    val horizon = merged.agg(max("updated_at")).first().get(0)
+    val live = merged.where(
+      col("updated_at") >= lit(horizon).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
+    TableIO.commit(live, root, "hash_cache")
+    TableIO.read(spark, root).get
+  }
+
+  /** Hashes for `ids` (image_id) resolved cache-first: (cached hits,
+    * miss ids). Caller computes misses and `merge`s them back. */
+  def lookup(spark: SparkSession, root: String, ids: DataFrame): (DataFrame, DataFrame) = {
+    val cache = TableIO.read(spark, root)
+    cache match {
+      case None => (ids.limit(0).withColumn("hash_value", lit("")), ids)
+      case Some(c) =>
+        val hits = ids.join(c.select("image_id", "hash_value"), Seq("image_id"), "inner")
+        val misses = ids.join(c.select("image_id"), Seq("image_id"), "left_anti")
+        (hits, misses)
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.Corpus
+import graft.schema._
+
+/** End-to-end pipeline checks on the planted synthetic corpus: the hidden
+  * `truth_cluster` column is the oracle for which rows must cluster
+  * together; the pipeline never reads it. */
+class DedupPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val corpus = Corpus.generate(spark, nClusters = 60, skewCopies = 25).cache()
+
+  test("corpus is deterministic and well-formed") {
+    val a = Corpus.clusterRows(42L, 7L)
+    val b = Corpus.clusterRows(42L, 7L)
+    assert(a.map(_.image_id) == b.map(_.image_id))
+    assert(a.map(_.phash) == b.map(_.phash))
+    assert(a.zip(b).forall { case (x, y) => x.bytes.sameElements(y.bytes) })
+    val n = corpus.count()
+    assert(n == 60 * 2 + 25, s"expected 145 rows, got $n")
+    assert(corpus.select("image_id").distinct().count() == n)
+  }
+
+  test("exact duplicates cluster together (type-4 clusters)") {
+    val members = Dedup.clusterMembers(corpus.toDF(), DedupConfig(
+      enableCaptionLsh = false, enablePhashHamming = false, enableContainment = false))
+    // type 4, 5, 9(0,1): identical bytes ⇒ same cluster
+    val exactGroups = members
+      .withColumn("h", sha2(col("bytes"), 256))
+      .groupBy("h").agg(countDistinct("cluster_id").as("nc"), count(lit(1)).as("n"))
+    assert(exactGroups.where(col("n") > 1 && col("nc") =!= 1).count() == 0,
+      "rows with identical bytes must share a cluster")
+  }
+
+  test("full pipeline groups every planted cluster (recall) without merging across (precision proxy)") {
+    val members = Dedup.clusterMembers(corpus.toDF(), DedupConfig()).cache()
+    // recall: every planted multi-row truth cluster ends up in ONE engine cluster
+    val perTruth = members.groupBy("truth_cluster")
+      .agg(countDistinct("cluster_id").as("nc"), count(lit(1)).as("n"))
+    val broken = perTruth.where(col("n") > 1 && col("nc") =!= 1)
+    assert(broken.count() == 0,
+      s"planted clusters split: ${broken.collect().mkString(",")}")
+    // precision proxy: an engine cluster never spans >1 planted truth cluster
+    // (negatives are random enough that cross-cluster merges mean a bug)
+    val perEngine = members.groupBy("cluster_id")
+      .agg(countDistinct("truth_cluster").as("nt"))
+    val merged = perEngine.where(col("nt") > 1)
+    assert(merged.count() == 0,
+      s"engine merged unrelated planted clusters: ${merged.collect().take(5).mkString(",")}")
+  }
+
+  test("resolution: ref rows always keep; matched scan elects one mover") {
+    val actions = Dedup.run(corpus.toDF(), DedupConfig()).cache()
+    assert(actions.where(col("role") === "ref" && col("disposition") =!= "keep").count() == 0)
+    val scanDisp = actions.where(col("role") === "scan")
+      .groupBy("cluster_id", "disposition").count()
+    // any cluster with a move has exactly one mover
+    assert(scanDisp.where(col("disposition") === "move" && col("count") > 1).count() == 0)
+    // every action row accounted for: same count as filtered input
+    assert(actions.count() == corpus.count())
+  }
+}
