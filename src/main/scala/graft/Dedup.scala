@@ -41,18 +41,18 @@ object Dedup {
     var edges = Candidates.exactEdges(keyed, "image_id", "key")
     val spark = df.sparkSession
     import spark.implicits._
-    var metrics = Seq.empty[(String, Long, Long)].toDF("source", "capped_buckets", "dropped_rows")
+    var metrics = Seq.empty[(String, Long, Long)].toDF("source", "salted_buckets", "salt_groups")
     if (cfg.enableCaptionLsh) {
       val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
       edges = edges.unionByName(e)
       metrics = metrics.unionByName(
-        m.select(lit("caption_lsh").as("source"), col("capped_buckets"), col("dropped_rows")))
+        m.select(lit("caption_lsh").as("source"), col("salted_buckets"), col("salt_groups")))
     }
     if (cfg.enablePhashHamming) {
       val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
       edges = edges.unionByName(e)
       metrics = metrics.unionByName(
-        m.select(lit("phash_hamming").as("source"), col("capped_buckets"), col("dropped_rows")))
+        m.select(lit("phash_hamming").as("source"), col("salted_buckets"), col("salt_groups")))
     }
     if (cfg.enableContainment) {
       edges = edges.unionByName(

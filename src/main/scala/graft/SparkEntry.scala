@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cluster.ConnectedComponents
 import graft.gen.Corpus
-import graft.ops.{DocOps, EmbeddingOps}
+import graft.ops.{DocOps, EmbeddingOps, ImageOps}
 import graft.schema.{DedupConfig, NearDupConfig}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,6 +169,13 @@ object SparkEntry {
       DocOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
         .orderBy("doc1", "doc2")),
 
+    // SimHash near-dup pairs: 64-bit signature, Hamming-band blocking,
+    // Jaccard-verified — blocking recall 1 for simhash distance ≤ 15
+    // (16 × 4-bit bands, pigeonhole), so output = q_jaccard_pairs ids
+    "q_simhash_pairs" -> ((s, dir) =>
+      DocOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
+        .orderBy("doc1", "doc2")),
+
     // duplicate clusters: connected components over verified near-dup edges
     "q_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -208,7 +215,46 @@ object SparkEntry {
     // brute-force top-1 neighbor (quantized integer dot), label-blocked
     "q_embed_top1" -> ((s, dir) =>
       EmbeddingOps.top1WithinLabel(t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // embedding-cosine near-dup pairs (vectors are L2-normalized: quantized
+    // integer dot = cosine × 10⁶), label-blocked, integer-exact
+    "q_embed_neardup_pairs" -> ((s, dir) =>
+      EmbeddingOps.cosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+                               "label", tauQ = 350000L)
+        .orderBy("id1", "id2")),
+
+    // ANN top-1 via random-hyperplane LSH buckets — the 100 TB similarity-
+    // search path (shuffle bounded by bucket id). Approximate by design →
+    // rows-only driver check; recall vs brute force is asserted in
+    // AnnRecallSpec under sbt test.
+    "q_ann_top1" -> ((s, dir) =>
+      EmbeddingOps.annTop1(t(s, dir, "embeddings"), "vec_id", "embedding",
+                           dim = 64, nBits = 8)
+        .orderBy("vec_id")),
+
+    // ---- multimodal (binary image columns) ----
+
+    // one-pass decode/feature-extract over the deterministic synthetic
+    // image corpus (driver tables carry no binary payloads): per image the
+    // decoded w/h, decodability, byte size and recomputed DCT pHash. No SQL
+    // oracle (javax.imageio decode) → rows-only check; pixel-level
+    // invariants are asserted in ImageOpsSpec.
+    "q_image_features" -> ((s, dir) => {
+      val corpus = Corpus.generate(s, nClusters = 80, skewCopies = 20).toDF()
+      ImageOps.imageFeatures(corpus, "image_id", "bytes")
+        .orderBy("image_id")
+    }),
+
+    // flagship end-to-end dedup (exact ∪ caption-LSH ∪ pHash-Hamming ∪
+    // containment → CC → canonical election) on the synthetic corpus —
+    // the north-metric pipeline as a benchable query; rows-only check
+    // (cluster semantics are oracle-checked via q_dup_clusters and the
+    // planted-truth recall specs).
+    "q_dedup_pipeline" -> ((s, dir) => {
+      val corpus = Corpus.generate(s, nClusters = 150, skewCopies = 40).toDF()
+      Dedup.run(corpus, DedupConfig()).orderBy("image_id")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -291,6 +337,8 @@ object SparkEntry {
         (shingleCte + "SELECT doc1, doc2, n_inter, n_union FROM jpairs ORDER BY doc1, doc2"),
       "q_minhash_lsh_pairs" ->
         (shingleCte + "SELECT doc1, doc2 FROM jpairs ORDER BY doc1, doc2"),
+      "q_simhash_pairs" ->
+        (shingleCte + "SELECT doc1, doc2 FROM jpairs ORDER BY doc1, doc2"),
       "q_dup_clusters" ->
         (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
           """, edges AS (
@@ -318,7 +366,8 @@ object SparkEntry {
       "q_token_stats" ->
         """SELECT doc_id,
           |  len(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ')) AS n_tokens,
-          |  len(list_distinct(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))) AS n_distinct_tokens
+          |  len(list_distinct(string_split(trim(regexp_replace(lower(text),'\s+',' ','g')), ' '))) AS n_distinct_tokens,
+          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q_quality_score" ->
         """WITH tt AS (
@@ -359,7 +408,17 @@ object SparkEntry {
           |SELECT vec_id, nn_id, dot_q FROM (
           |  SELECT vec_id, nn_id, dot_q,
           |         row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nn_id ASC) AS rn
-          |  FROM dots) WHERE rn = 1 ORDER BY vec_id""".stripMargin
+          |  FROM dots) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      "q_embed_neardup_pairs" ->
+        """WITH q AS (
+          |  SELECT vec_id, label,
+          |         unnest(list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS v,
+          |         unnest(range(1, len(embedding) + 1)) AS i
+          |  FROM embeddings)
+          |SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(sum(a.v * b.v) AS BIGINT) AS dot_q
+          |FROM q a JOIN q b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+          |GROUP BY 1, 2 HAVING sum(a.v * b.v) >= 350000
+          |ORDER BY id1, id2""".stripMargin
     )
   }
 }

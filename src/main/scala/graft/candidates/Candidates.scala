@@ -40,31 +40,61 @@ object Candidates {
       .distinct()
   }
 
-  /** All intra-bucket pairs (id1<id2) with a bucket-size cap. `keyed` must
-    * have `idCol` + `keyCols`. Returns (pairs, cappedBucketCount column via
-    * side metric DataFrame). Pairs from buckets larger than `cap` are
-    * truncated to the cap's first rows by id order — truncation is reported,
-    * never silent. */
+  /** All intra-bucket pairs (id1<id2), with **salting** of oversized
+    * buckets — the north_rule's explicit skew guard. `keyed` must have
+    * `idCol` + `keyCols`. Returns (pairs, metrics).
+    *
+    * Mechanics: bucket sizes come from a `groupBy().count()` (partial
+    * aggregation — skew-safe by construction); buckets ≤ `cap` produce the
+    * exact full pair set; a bucket of size s > cap is split into
+    * `ceil(s/cap)` salt sub-buckets by `xxhash64(id) mod nsalt`, pairs are
+    * generated *within* each salt group, and the salt groups are stitched
+    * with a chain over their per-salt minimum ids — so the bucket stays one
+    * connected component while per-bucket pair cost drops from O(s²) to
+    * O(s·cap) and no task ever joins more than ~2·cap rows against itself.
+    * Nothing is dropped (the old design truncated rank>cap rows); stitched
+    * buckets are still *reported* because their pair set is a connectivity-
+    * preserving subset, not the full clique — downstream verification prunes
+    * per-edge either way. The bucket-size frame is tiny (one row per
+    * oversized bucket) so the size join broadcasts.
+    */
   def pairsWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
                          cap: Int, kind: String): (DataFrame, DataFrame) = {
     val ks = keyCols.map(col)
-    val w = Window.partitionBy(ks: _*).orderBy(col(idCol))
-    val ranked = keyed
+    val rows = keyed
       .select((keyCols :+ idCol).map(col): _*)
       .distinct()
-      .withColumn("_rn", row_number().over(w))
-    val capped = ranked.where(col("_rn") <= cap)
-    val metrics = ranked
-      .groupBy(ks: _*).agg(max("_rn").as("bucket_size"))
-      .where(col("bucket_size") > cap)
-      .agg(coalesce(count(lit(1)), lit(0L)).as("capped_buckets"),
-           coalesce(sum(col("bucket_size") - cap), lit(0L)).as("dropped_rows"))
-    val a = capped.select(ks :+ col(idCol).as("id1") :+ col("_rn").as("_rn1"): _*)
-    val b = capped.select(ks :+ col(idCol).as("id2") :+ col("_rn").as("_rn2"): _*)
-    val pairs = a.join(b, keyCols)
-      .where(col("_rn1") < col("_rn2"))
+    val sizes = rows.groupBy(ks: _*).agg(count(lit(1)).as("_bsz"))
+    val oversized = sizes.where(col("_bsz") > cap)
+      .withColumn("_nsalt", ceil(col("_bsz").cast("double") / cap).cast("int"))
+      .select((ks :+ col("_nsalt")): _*)
+    val salted = rows
+      .join(broadcast(oversized), keyCols, "left")
+      .withColumn("_salt",
+        when(col("_nsalt").isNull, lit(0))
+          .otherwise(pmod(xxhash64(col(idCol)), col("_nsalt")).cast("int")))
+    val saltKeys = keyCols :+ "_salt"
+    val a = salted.select((saltKeys.map(col) :+ col(idCol).as("id1")): _*)
+    val b = salted.select((saltKeys.map(col) :+ col(idCol).as("id2")): _*)
+    val intra = a.join(b, saltKeys)
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    // stitch: chain consecutive per-salt minimum ids of each oversized
+    // bucket (≤ nsalt rows per bucket — the window is trivially small)
+    val reps = salted.where(col("_nsalt").isNotNull)
+      .groupBy((saltKeys).map(col): _*).agg(min(idCol).as("_rep"))
+    val wS = Window.partitionBy(ks: _*).orderBy(col("_salt"))
+    val stitch = reps
+      .withColumn("_prev", lag(col("_rep"), 1).over(wS))
+      .where(col("_prev").isNotNull)
+      .select(least(col("_prev"), col("_rep")).as("id1"),
+              greatest(col("_prev"), col("_rep")).as("id2"))
+    val pairs = intra.unionByName(stitch)
       .select(col("id1"), col("id2"), lit(kind).as("kind"))
       .distinct()
+    val metrics = oversized
+      .agg(coalesce(count(lit(1)), lit(0L)).as("salted_buckets"),
+           coalesce(sum(col("_nsalt").cast("long")), lit(0L)).as("salt_groups"))
     (pairs, metrics)
   }
 

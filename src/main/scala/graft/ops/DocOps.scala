@@ -77,13 +77,62 @@ object DocOps {
       .distinct()
   }
 
+  /** SimHash near-dup pairs — the at-scale alternative to MinHash for
+    * token-multiset similarity: one 64-bit signature per document (vs 64
+    * lanes), Hamming-band blocking (pigeonhole: simhash distance ≤ bands−1
+    * guarantees a shared band), then exact shingle-Jaccard verification.
+    * Near-dups under the verify threshold sit at small simhash distance, so
+    * with 16 × 4-bit bands the blocking recall at the corpus' planted
+    * similarities is 1 (guaranteed for distance ≤ 15) and the verified
+    * output equals `jaccardPairs` ids. Output (doc1, doc2). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: NearDupConfig, simhashBands: Int = 16): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
+    // collapse identical normalized texts to one representative (skew guard,
+    // same as the LSH path) — star edges restore them afterwards
+    val repW = org.apache.spark.sql.expressions.Window.partitionBy(col("_nc"))
+    val withRep = base.withColumn("_rep", min("doc_id").over(repW))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sameText = withRep.where(col("doc_id") =!= col("_rep"))
+      .select(col("_rep").as("doc1"), col("doc_id").as("doc2"))
+    val reps = withRep.where(col("doc_id") === col("_rep"))
+      .select(col("doc_id"), col("_nc"),
+              Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"),
+              Keys.simhash(col("_nc")).as("_sim"))
+      .where(size(col("_sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = reps.select(col("doc_id"),
+      posexplode(Keys.hammingBands(col("_sim"), simhashBands))
+        .as(Seq("band_id", "band_val")))
+    val (cand, _) = graft.candidates.Candidates.pairsWithinBuckets(
+      exploded, "doc_id", Seq("band_id", "band_val"), cfg.maxBucketSize, "simhash")
+    val verified = cand
+      .join(reps.select(col("doc_id").as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(reps.select(col("doc_id").as("id2"), col("_sh").as("_sh2")), "id2")
+    val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
+    val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
+    verified.where(inter * 100 >= union * thresholdPct)
+      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+      .unionByName(sameText)
+      .select(least(col("doc1"), col("doc2")).as("doc1"),
+              greatest(col("doc1"), col("doc2")).as("doc2"))
+      .distinct()
+  }
+
+  /** BPE-ish subtoken regex: alnum runs or single non-alnum-non-space marks
+    * — same semantics under Java regex (Spark) and RE2 (DuckDB). */
+  val SubtokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
   /** Token stats: n_tokens, n_distinct_tokens (whitespace tokenization,
-    * normalized). */
+    * normalized) + n_subtokens (BPE-ish regex count). */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = Keys.tokens(col(textCol))
     docs.select(col(idCol).as("doc_id"),
                 size(toks).cast("long").as("n_tokens"),
-                size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+                size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+                size(regexp_extract_all(col(textCol), lit(SubtokenRegex), lit(0)))
+                  .cast("long").as("n_subtokens"))
   }
 
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "or")

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.candidates.Candidates
+import graft.cluster.ConnectedComponents
+
+/** Candidate generation: exact pair semantics for small buckets, salting
+  * behavior (connectivity + bounded pair count + metrics) for hot buckets. */
+class CandidatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("small buckets produce the exact full pair set") {
+    val keyed = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("x", 2L), ("y", 2L), ("z", 3L))
+      .toDF("id", "k")
+    val (pairs, metrics) = Candidates.pairsWithinBuckets(keyed, "id", Seq("k"), cap = 16, "t")
+    val got = pairs.select("id1", "id2").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")))
+    val m = metrics.first()
+    assert(m.getLong(0) == 0 && m.getLong(1) == 0, "no salting below the cap")
+  }
+
+  test("hot bucket is salted: connected, bounded, reported — nothing dropped") {
+    val n = 200
+    val cap = 16
+    val keyed = (0 until n).map(i => (f"id_$i%04d", 1L)).toDF("id", "k")
+    val (pairs, metrics) = Candidates.pairsWithinBuckets(keyed, "id", Seq("k"), cap, "t")
+    val p = pairs.cache()
+    val nPairs = p.count()
+    // far below the full clique, at most ~n*cap intra + stitch edges
+    assert(nPairs < n.toLong * cap, s"salted pair count $nPairs not bounded")
+    assert(nPairs >= n - 1, "must keep at least a spanning structure")
+    // connectivity: all n ids still form ONE component
+    val cc = ConnectedComponents.run(p.select("id1", "id2"))
+    assert(cc.select("cluster_id").distinct().count() == 1)
+    assert(cc.count() == n)
+    val m = metrics.first()
+    assert(m.getLong(0) == 1, "one salted bucket reported")
+    assert(m.getLong(1) >= (n / cap).toLong, "salt group count reported")
+    p.unpersist()
+  }
+
+  test("every id appears in some pair (salting loses no rows)") {
+    val n = 100
+    val keyed = (0 until n).map(i => (f"id_$i%04d", 1L)).toDF("id", "k")
+    val (pairs, _) = Candidates.pairsWithinBuckets(keyed, "id", Seq("k"), cap = 8, "t")
+    val seen = pairs.select(col("id1").as("id")).union(pairs.select(col("id2")))
+      .distinct().count()
+    assert(seen == n, s"only $seen of $n ids present in salted pairs")
+  }
+
+  test("containment edges: short ⊂ long found via first-shingle block") {
+    val df = Seq(
+      ("a", "one two three four five"),
+      ("b", "zero one two three four five six"), // contains a
+      ("c", "totally different caption words here")
+    ).toDF("image_id", "caption")
+    val edges = Candidates.containmentEdges(df, "image_id", "caption",
+      graft.schema.NearDupConfig())
+    val got = edges.select("id1", "id2").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b")))
+  }
+
+  test("star edges for exact groups are linear in group size") {
+    val keyed = (0 until 50).map(i => (f"id_$i%03d", "k1")).toDF("image_id", "key")
+    val edges = Candidates.exactEdges(keyed, "image_id", "key")
+    assert(edges.count() == 49, "star = n-1 edges, not n(n-1)/2")
+    val cc = ConnectedComponents.run(edges.select("id1", "id2"))
+    assert(cc.select("cluster_id").distinct().count() == 1)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{DocOps, EmbeddingOps}
+import graft.schema.NearDupConfig
+
+/** Cross-validation of the three near-dup paths over the driver's real
+  * documents table (sf0.001) — brute-force shared-shingle Jaccard is the
+  * in-test oracle; MinHash+LSH and SimHash must reproduce its pair set at
+  * the corpus' planted similarities. Plus embedding similarity ops with a
+  * planted-vector ANN recall check. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveTestdata = new java.io.File(s"$sfDir/documents.parquet").exists()
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+  private val cfg = NearDupConfig(jaccardThreshold = 0.8)
+
+  test("MinHash+LSH pairs == brute-force Jaccard pairs on real documents") {
+    assume(haveTestdata)
+    val oracle = DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val lsh = DocOps.minhashLshPairs(docs, "doc_id", "text", cfg)
+      .as[(Long, Long)].collect().toSet
+    assert(oracle.nonEmpty, "fixture should contain near-dup documents")
+    assert(lsh == oracle, s"missing=${(oracle -- lsh).take(5)} extra=${(lsh -- oracle).take(5)}")
+  }
+
+  test("SimHash pairs == brute-force Jaccard pairs on real documents") {
+    assume(haveTestdata)
+    val oracle = DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    val sim = DocOps.simhashPairs(docs, "doc_id", "text", cfg)
+      .as[(Long, Long)].collect().toSet
+    assert(sim == oracle, s"missing=${(oracle -- sim).take(5)} extra=${(sim -- oracle).take(5)}")
+  }
+
+  test("token stats: subtoken regex counts match a hand example") {
+    val df = Seq((1L, "Hello, world! It's 42%")).toDF("doc_id", "text")
+    val r = DocOps.tokenStats(df, "doc_id", "text").first()
+    // tokens: [hello,, world!, it's, 42%] = 4
+    assert(r.getLong(1) == 4)
+    // subtokens: Hello , world ! It ' s 42 % = 9
+    assert(r.getLong(3) == 9)
+  }
+
+  test("cosinePairs: integer-exact threshold, symmetric-free (id1<id2)") {
+    assume(haveTestdata)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = EmbeddingOps.cosinePairs(emb, "vec_id", "embedding", "label", 350000L).cache()
+    assert(pairs.where(col("id1") >= col("id2")).count() == 0)
+    assert(pairs.where(col("dot_q") < 350000L).count() == 0)
+    assert(pairs.count() > 0, "threshold chosen to be non-empty on the fixture")
+    pairs.unpersist()
+  }
+
+  test("ANN multi-table LSH finds planted near-neighbors (recall ≥ 0.95)") {
+    // planted data: 60 random unit vectors + a tiny-perturbation partner each
+    // (cos ≈ 0.999) — ANN must find the partner as top-1 for ≥ 95% of rows
+    val dim = 64
+    val rng = new scala.util.Random(99L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(dim)(rng.nextGaussian())
+      val eps = base.map(x => x + rng.nextGaussian() * 0.02)
+      Seq((i.toLong * 2, unit(base).toSeq), (i.toLong * 2 + 1, unit(eps).toSeq))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ann = EmbeddingOps.annTop1(emb, "vec_id", "embedding", dim, nBits = 8, nTables = 8)
+    val got = ann.select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    val hits = rows.map(_._1).count(id => got.get(id).contains(id ^ 1L))
+    val recall = hits.toDouble / rows.size
+    assert(recall >= 0.95, s"ANN planted-partner recall $recall < 0.95")
+  }
+
+  test("fingerprint is stable under duplicate-shingle reordering") {
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val fp = DocOps.fingerprint(df, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc1's extra repeated shingles don't add distinct 3-grams beyond doc2's
+    // ("a b c","b c a","c a b" vs "a b c") — but min-md5 over supersets can
+    // differ; just pin determinism + non-null here
+    assert(fp(1L) != null && fp(2L) != null)
+    val fp2 = DocOps.fingerprint(df, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp == fp2)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.state.{HashCache, TableIO}
+
+/** Snapshot table facade + persistent hash cache — resumable checkpointed
+  * restarts and the reference HashManager's TTL/upsert semantics
+  * (hash_manager.py:58-158). */
+class StateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_state").toString
+
+  test("TableIO: commit → read round-trip, snapshot ids advance, parent chain") {
+    val root = tmpDir()
+    assert(TableIO.lastSnapshot(root).isEmpty)
+    val s0 = TableIO.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), root, "stage_a")
+    assert(s0.id == 0 && s0.parent == -1 && s0.rows == 2)
+    val s1 = TableIO.commit(Seq((3, "c")).toDF("k", "v"), root, "stage_b")
+    assert(s1.id == 1 && s1.parent == 0)
+    val back = TableIO.read(spark, root).get
+    assert(back.as[(Int, String)].collect().toSet == Set((3, "c")), "reader sees latest snapshot only")
+    assert(TableIO.lastSnapshot(root).get.stage == "stage_b")
+  }
+
+  test("stageCheckpoint: recompute skipped on resume (checkpointed restart)") {
+    val root = tmpDir()
+    var computes = 0
+    def job = { computes += 1; Seq((1, 10)).toDF("k", "v") }
+    val first = TableIO.stageCheckpoint(spark, root, "edges")(job)
+    assert(computes == 1 && first.count() == 1)
+    // resume: same stage name ⇒ cached snapshot, zero recompute
+    val second = TableIO.stageCheckpoint(spark, root, "edges")(job)
+    assert(computes == 1, "resume must not recompute a committed stage")
+    assert(second.count() == 1)
+    // a different stage recomputes and commits a new snapshot
+    TableIO.stageCheckpoint(spark, root, "clusters") { computes += 1; Seq((2, 20)).toDF("k", "v") }
+    assert(computes == 2)
+    assert(TableIO.lastSnapshot(root).get.stage == "clusters")
+  }
+
+  test("HashCache: upsert newest-wins + TTL expiry on merge") {
+    val root = tmpDir()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val tOld = java.sql.Timestamp.valueOf("2023-11-01 00:00:00") // > 28 days before t1
+    val t1 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    HashCache.merge(spark, root,
+      Seq(("img1", "h1", t0), ("img2", "h2", t0), ("img3", "hOld", tOld))
+        .toDF("image_id", "hash_value", "updated_at"))
+    val after = HashCache.merge(spark, root,
+      Seq(("img1", "h1b", t1)).toDF("image_id", "hash_value", "updated_at"))
+    val m = after.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("img1") == "h1b", "newest hash wins the upsert")
+    assert(m.get("img2").contains("h2"), "fresh rows survive")
+    assert(!m.contains("img3"), "rows older than the 28-day TTL are dropped")
+  }
+
+  test("HashCache.lookup: hits from cache, misses to compute (X7 anti-join)") {
+    val root = tmpDir()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    HashCache.merge(spark, root,
+      Seq(("img1", "h1", t0)).toDF("image_id", "hash_value", "updated_at"))
+    val ids = Seq("img1", "imgNew").toDF("image_id")
+    val (hits, misses) = HashCache.lookup(spark, root, ids)
+    assert(hits.select("image_id").as[String].collect().toSeq == Seq("img1"))
+    assert(misses.select("image_id").as[String].collect().toSeq == Seq("imgNew"))
+  }
+}
