@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.gen.Corpus
+import graft.schema.DedupConfig
+
+/** Cluster-size scaling evidence (BASELINE.json: throughput scaling
+  * efficiency ≥ 0.8 between N and 4N executors).
+  *
+  * No multi-node cluster exists in this sandbox, so the same flagship job
+  * runs at two parallelism levels — local[8] and local[32], with
+  * spark.sql.shuffle.partitions scaled with cores — on the IDENTICAL
+  * deterministic corpus (generation is seed-pure, so both sessions dedup
+  * byte-identical input). Each session warms up on a smaller corpus first
+  * so JIT state doesn't favor whichever level runs second. Efficiency =
+  * (T_N / T_4N) / 4.
+  *
+  * Output: one JSON line, recorded in BASELINE.md.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val nClusters = sys.env.getOrElse("SCALE_CLUSTERS", "30000").toInt
+    val skew = sys.env.getOrElse("SCALE_SKEW", "2000").toInt
+
+    def runAt(cores: Int): (Long, Double) = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName(s"graft-scale-$cores")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        // JIT/codegen warmup: same plan shape, 1/10 of the data
+        Dedup.run(Corpus.generate(spark, math.max(nClusters / 10, 50),
+          skew / 10).toDF(), DedupConfig()).count()
+        val corpus = Corpus.generate(spark, nClusters, skew).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nImages = corpus.count() // materialize BEFORE the timer
+        val t0 = System.nanoTime()
+        val n = Dedup.run(corpus, DedupConfig()).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(n == nImages, s"actions $n != input $nImages")
+        (nImages, sec)
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+
+    val (n8, t8) = runAt(8)
+    val (n32, t32) = runAt(32)
+    require(n8 == n32)
+    val thr8 = n8 / t8
+    val thr32 = n32 / t32
+    val eff = (t8 / t32) / 4.0
+    println(
+      f"""{"metric":"scaling","n_images":$n8,"local8_sec":$t8%.2f,"local32_sec":$t32%.2f,""" +
+      f""""imgs_per_sec_8":${thr8}%.1f,"imgs_per_sec_32":${thr32}%.1f,"scaling_efficiency":$eff%.3f}""")
+  }
+}

@@ -122,18 +122,17 @@ object Candidates {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sameCaption = withRep.where(col(idCol) =!= col("_rep"))
       .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("caption_exact").as("kind"))
-    // materialize shingles BEFORE the 64-lane signature projection: the
-    // persist is an optimizer barrier, so each lane expression references the
-    // `_sh` attribute instead of inlining (and re-evaluating) shingle
-    // construction per lane
+    // materialize shingles behind the persist (optimizer barrier), then one
+    // JVM-native UDF pass computes all band hashes per row — see
+    // Keys.minhashBandUdf for why this beats the HOF expression form
     val shingled = withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandUdf = Keys.minhashBandUdf(cfg.lshBands, cfg.lshRowsPerBand)
     val exploded = shingled
       .select(col(idCol),
-              posexplode(Keys.lshBandHashes(col("_sh"), cfg.lshBands, cfg.lshRowsPerBand))
-                .as(Seq("band_id", "band_hash")))
+              posexplode(bandUdf(col("_sh"))).as(Seq("band_id", "band_hash")))
     val (cand, metrics) = pairsWithinBuckets(
       exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize, "caption_lsh")
     // verify: join shingles back, exact Jaccard (integer-exact compare)
@@ -149,10 +148,20 @@ object Candidates {
     (edges.unionByName(sameCaption), metrics)
   }
 
-  /** pHash Hamming candidates: pigeonhole band blocking → verify
-    * bit_count(xor) ≤ radius. Returns (edges, metrics). */
+  /** pHash Hamming candidates via **multi-index Hamming search** (Norouzi
+    * et al., CVPR'12): the 64-bit hash splits into `hammingBands` wide
+    * chunks (default 4 × 16 bits); the probe side explodes every ≤⌊r/m⌋-bit
+    * flip of each chunk and equi-joins the index side's exact chunk values.
+    * Pigeonhole makes this recall-lossless for distance ≤ radius, and wide
+    * chunks keep buckets selective at 10¹² rows — narrow 8-bit bands would
+    * put every row in O(n/256)-sized buckets and the block join would
+    * degenerate quadratically. Verification is exact `bit_count(xor) ≤ r`.
+    * Skew guards: identical-phash collapse up front (the degenerate mass),
+    * AQE skew-join on the residual block join. Returns (edges, metrics). */
   def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
                         cfg: NearDupConfig): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // collapse identical phash first (same reasoning as captions)
     val repW = Window.partitionBy(col(phashCol))
     val withRep = df.select(col(idCol), col(phashCol))
@@ -160,26 +169,38 @@ object Candidates {
     val samePhash = withRep.where(col(idCol) =!= col("_rep"))
       .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
     val reps = withRep.where(col(idCol) === col("_rep"))
-      .select(col(idCol), col(phashCol))
       .select(col(idCol), col(phashCol),
               posexplode(Keys.hammingBands(col(phashCol), cfg.hammingBands))
                 .as(Seq("band_id", "band_val")))
-    val (cand, metrics) = pairsWithinBuckets(
-      reps.select(col(idCol), col("band_id"), col("band_val")),
-      idCol, Seq("band_id", "band_val"), cfg.maxBucketSize, "phash_hamming")
-    val ph = df.select(col(idCol), col(phashCol))
-    val edges = cand
-      .join(ph.select(col(idCol).as("id1"), col(phashCol).as("_p1")), "id1")
-      .join(ph.select(col(idCol).as("id2"), col(phashCol).as("_p2")), "id2")
-      .where(Keys.hammingDist(col("_p1"), col("_p2")) <= cfg.hammingRadius)
-      .select(col("id1"), col("id2"), col("kind"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val masks = Keys.flipMasks(64 / cfg.hammingBands,
+                               cfg.hammingRadius / cfg.hammingBands)
+    val probe = reps.select(col(idCol).as("_pid"), col(phashCol).as("_pp"),
+        col("band_id"),
+        explode(array(masks.map(m => col("band_val").bitwiseXOR(lit(m))): _*))
+          .as("band_val"))
+    // asymmetric join: expanded probe × exact index; a true pair within the
+    // sub-radius collides in both directions, distinct dedups
+    val edges = probe
+      .join(reps.select(col(idCol).as("_iid"), col(phashCol).as("_ip"),
+                        col("band_id"), col("band_val")),
+            Seq("band_id", "band_val"))
+      .where(col("_pid") < col("_iid") &&
+             Keys.hammingDist(col("_pp"), col("_ip")) <= cfg.hammingRadius)
+      .select(col("_pid").as("id1"), col("_iid").as("id2"),
+              lit("phash_hamming").as("kind"))
+      .distinct()
+    val metrics = Seq((0L, 0L)).toDF("salted_buckets", "salt_groups")
     (edges.unionByName(samePhash), metrics)
   }
 
   /** Contained-caption candidates: short caption is a substring of a longer
     * one. Blocking: a containment pair must share every shingle of the short
-    * side, so joining the short side's FIRST shingle against the long side's
-    * exploded shingle set is recall-lossless (for captions with ≥ k tokens).
+    * side, so any ONE shingle of the short side is a recall-lossless block
+    * key (for captions with ≥ k tokens) — and picking the short side's
+    * **globally least frequent** shingle (classic prefix filtering, à la
+    * PPJoin) minimizes bucket sizes: a naive "first shingle" key degenerates
+    * when many captions share a prefix (exactly the skew-block shape).
     * Verified with an exact `instr` check — never a cartesian product. */
   def containmentEdges(df: DataFrame, idCol: String, captionCol: String,
                        cfg: NearDupConfig): DataFrame = {
@@ -188,8 +209,16 @@ object Candidates {
       .distinct()
       .withColumn("_sh", Keys.shingles(col("_nc"), cfg.shingleK))
       .where(size(col("_sh")) > 0)
-    val short = norm.select(col(idCol).as("sid"), col("_nc").as("s_nc"),
-                            element_at(col("_sh"), 1).as("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = norm.select(col(idCol), col("_nc"), explode(col("_sh")).as("block"))
+    // global shingle document frequency (partial-agg shuffle, skew-free),
+    // then per-doc argmin by (df, shingle) — deterministic block choice
+    val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
+    val wMin = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("block"))
+    val short = exploded.join(freq, "block")
+      .withColumn("_rn", row_number().over(wMin))
+      .where(col("_rn") === 1)
+      .select(col(idCol).as("sid"), col("_nc").as("s_nc"), col("block"))
     val long = norm.select(col(idCol).as("lid"), col("_nc").as("l_nc"),
                            explode(col("_sh")).as("block"))
     short.join(long, "block")

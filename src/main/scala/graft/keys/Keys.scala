@@ -52,12 +52,38 @@ object Keys {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** MinHash signature: `lanes` 64-bit minima. Lane i minimizes
-    * xxhash64(i, shingle) over the shingle set — one projection, no shuffle,
+  private val Seed2 = 0x9e3779b97f4a7c15L // golden-ratio odd constant
+
+  /** Per-shingle base hashes: each shingle string is hashed exactly TWICE
+    * (h1, h2); all `lanes` MinHash functions derive from them by cheap
+    * long arithmetic (Kirsch–Mitzenmacher double hashing, here XOR-rotate
+    * so ANSI mode can't overflow) — string hashing is the dominant MinHash
+    * cost and this makes it O(shingles), not O(shingles × lanes).
+    *
+    * IMPORTANT: materialize this column behind an optimizer barrier
+    * (persist) before projecting lanes — Catalyst's project collapsing
+    * inlines the alias into each of its 64 references otherwise, re-hashing
+    * every string per lane. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s =>
+      struct(xxhash64(s).as("h1"), xxhash64(lit(Seed2), s).as("h2")))
+
+  /** Lane `i`'s hash of one (h1, h2) pair: h1 XOR rotl(h2, i). Bitwise only
+    * — overflow-free under ANSI; 64 distinct mixers for i in [0, 64). */
+  private def laneMix(h: Column, lane: Int): Column = {
+    val r = lane % 64
+    val rot = if (r == 0) h.getField("h2")
+      else shiftleft(h.getField("h2"), r)
+        .bitwiseOR(shiftrightunsigned(h.getField("h2"), 64 - r))
+    h.getField("h1").bitwiseXOR(rot)
+  }
+
+  /** MinHash signature from pre-hashed shingles: lane i minimizes
+    * laneMix(h, i) over the shingle set — one projection, no shuffle,
     * partial-agg-free (array_min over transform). Returns array<long>. */
-  def minhashSignature(shingleArr: Column, lanes: Int): Column =
+  def minhashSignature(hashedArr: Column, lanes: Int): Column =
     array((0 until lanes).map { lane =>
-      array_min(transform(shingleArr, s => xxhash64(lit(lane), s)))
+      array_min(transform(hashedArr, h => laneMix(h, lane)))
     }: _*)
 
   /** LSH band hashes from a signature: band j hashes lanes
@@ -69,22 +95,104 @@ object Keys {
         element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
-  /** Fused shingles→MinHash→LSH band hashes in ONE expression tree where
-    * every lane minimum is referenced exactly once by its band.
+  /** Fused pre-hashed-shingles→MinHash→LSH band hashes in ONE expression
+    * tree where every lane minimum is referenced exactly once by its band.
     *
-    * Why not `bandHashes(minhashSignature(...))`: Catalyst's project
-    * collapsing inlines a `withColumn` alias into each of its references, so
-    * 16 bands × 4 `element_at`s on the signature column would duplicate the
-    * 64-lane MinHash subtree 64× (≈4096 lambda expressions) — optimizer and
-    * codegen blow up. The fused form is linear: bands × rowsPerBand lane
-    * expressions total. */
-  def lshBandHashes(shingleArr: Column, bands: Int, rowsPerBand: Int): Column =
+    * Why not `bandHashes(minhashSignature(...))` over separate columns:
+    * Catalyst's project collapsing inlines a `withColumn` alias into each of
+    * its references, so 16 bands × 4 `element_at`s on the signature column
+    * would duplicate the 64-lane MinHash subtree 64× (≈4096 lambda
+    * expressions) — optimizer and codegen blow up. The fused form is
+    * linear: bands × rowsPerBand lane expressions total. `hashedArr` is a
+    * `shingleHashes` column, materialized behind a persist. */
+  def lshBandHashes(hashedArr: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rowsPerBand).map { r =>
-        val lane = b * rowsPerBand + r
-        array_min(transform(shingleArr, s => xxhash64(lit(lane), s)))
+        array_min(transform(hashedArr, h => laneMix(h, b * rowsPerBand + r)))
       }: _*)
     }: _*)
+
+  /** JVM-native MinHash→LSH band hashes — the hot-path implementation used
+    * by the candidate pipeline. The expression form above is kept for
+    * documentation/tests, but Spark evaluates higher-order functions
+    * (transform/aggregate) interpreted — no whole-stage codegen — which
+    * measured ~0.8 ms/doc at 64 lanes; this plain-JVM loop JITs to ~µs/doc.
+    * Same construction (double hashing + XOR-rotate lane mix), FNV-1a 64
+    * string hashing; signatures are engine-internal, never a cross-engine
+    * contract, so hash-family choice is free. */
+  def minhashBandUdf(bands: Int, rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (shingles: Seq[String]) =>
+      val lanes = bands * rowsPerBand
+      val sig = Array.fill(lanes)(Long.MaxValue)
+      shingles.foreach { s =>
+        var h1 = 0xcbf29ce484222325L
+        var h2 = 0x84222325cbf29ce4L
+        var i = 0
+        val n = s.length
+        while (i < n) {
+          val c = s.charAt(i)
+          h1 = (h1 ^ (c & 0xff)) * 0x100000001b3L
+          h1 = (h1 ^ (c >>> 8)) * 0x100000001b3L
+          h2 = (h2 ^ (c >>> 8)) * 0x100000001b3L
+          h2 = (h2 ^ (c & 0xff)) * 0x100000001b3L
+          i += 1
+        }
+        // final avalanche (xxhash-style) so per-lane rotations decorrelate
+        h1 ^= h1 >>> 33; h1 *= 0xff51afd7ed558ccdL; h1 ^= h1 >>> 33
+        h2 ^= h2 >>> 29; h2 *= 0xc4ceb9fe1a85ec53L; h2 ^= h2 >>> 32
+        var lane = 0
+        while (lane < lanes) {
+          val v = h1 ^ java.lang.Long.rotateLeft(h2, lane)
+          if (v < sig(lane)) sig(lane) = v
+          lane += 1
+        }
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xcbf29ce484222325L ^ b.toLong
+        var r = 0
+        while (r < rowsPerBand) {
+          val v = sig(b * rowsPerBand + r)
+          var k = 0
+          while (k < 8) { h = (h ^ ((v >>> (k * 8)) & 0xff)) * 0x100000001b3L; k += 1 }
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      out
+    }
+
+  /** JVM-native SimHash over a token array — hot-path twin of `simhash`
+    * below (HOF expressions evaluate interpreted; see minhashBandUdf).
+    * Hash family differs from the expression form (FNV-1a + avalanche vs
+    * xxhash64) — signatures are engine-internal; blocking recall is what
+    * matters and is verified downstream by exact Jaccard. */
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (tokens: Seq[String]) =>
+      val counters = new Array[Int](64)
+      tokens.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          h = (h ^ (c & 0xff)) * 0x100000001b3L
+          h = (h ^ (c >>> 8)) * 0x100000001b3L
+          i += 1
+        }
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
 
   /** SimHash (64-bit) over the token multiset: bit b of the result is the
     * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : −1). Pure
@@ -123,6 +231,24 @@ object Keys {
 
   /** Exact Hamming distance between two 64-bit hashes (codegen builtin). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** All XOR masks of a `width`-bit value with popcount ≤ subRadius —
+    * the probe-expansion set of multi-index Hamming search (Norouzi et al.,
+    * "Fast Search in Hamming Space with Multi-Index Hashing", CVPR'12):
+    * a pair within total distance r has, by pigeonhole, some chunk with
+    * ≤ ⌊r/m⌋ errors, so probing every ≤⌊r/m⌋-flip neighborhood of each
+    * chunk is recall-lossless while chunks stay wide (64/m bits) enough to
+    * be selective at 10¹² rows. Driver-side enumeration; tiny for
+    * subRadius ≤ 2 (width 16: 1, 17, or 137 masks). */
+  def flipMasks(width: Int, subRadius: Int): Seq[Long] = {
+    require(subRadius >= 0 && subRadius <= 2, s"flip enumeration for subRadius $subRadius is impractical")
+    val bits = 0 until width
+    val zero = Seq(0L)
+    val one = if (subRadius >= 1) bits.map(b => 1L << b) else Nil
+    val two = if (subRadius >= 2)
+      (for (a <- bits; b <- bits if a < b) yield (1L << a) | (1L << b)) else Nil
+    zero ++ one ++ two
+  }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays, as a
     * (numerator, denominator) integer pair — integer-exact comparisons

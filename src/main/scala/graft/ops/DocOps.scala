@@ -99,7 +99,7 @@ object DocOps {
     val reps = withRep.where(col("doc_id") === col("_rep"))
       .select(col("doc_id"), col("_nc"),
               Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"),
-              Keys.simhash(col("_nc")).as("_sim"))
+              Keys.simhashUdf(Keys.tokens(col("_nc"))).as("_sim"))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = reps.select(col("doc_id"),

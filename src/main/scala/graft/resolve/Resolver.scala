@@ -36,6 +36,9 @@ object Resolver {
     */
   def resolve(members: DataFrame, cfg: ResolveConfig = ResolveConfig()): DataFrame = {
     val w = Window.partitionBy("cluster_id", "role").orderBy("image_id")
+    // materialize the ranked frame ONCE: every disposition below is a branch
+    // over it (4-5 union arms + the refs self-join) — without the persist
+    // each arm re-executes the upstream join+window DAG
     val ranked = members
       .withColumn("rn", row_number().over(w))
       .withColumn("n_ref",
@@ -44,6 +47,7 @@ object Resolver {
       .withColumn("n_scan",
         sum(when(col("role") === "scan", 1).otherwise(0))
           .over(Window.partitionBy("cluster_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matched = col("n_ref") > 0 && col("n_scan") > 0
 
     val refs = ranked.where(col("role") === "ref")

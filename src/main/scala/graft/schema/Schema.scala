@@ -72,13 +72,15 @@ final case class NearDupConfig(
     lshBands: Int = 16,        // bands × rowsPerBand == minhashLanes
     lshRowsPerBand: Int = 4,
     jaccardThreshold: Double = 0.8,   // verify-stage exact Jaccard
-    hammingBands: Int = 8,     // 64-bit phash split into 8 × 8-bit bands
-    hammingRadius: Int = 7,    // pigeonhole-safe: radius ≤ bands − 1
-    maxBucketSize: Int = 256,  // LSH bucket cap (skew guard); capped buckets are logged
+    hammingBands: Int = 4,     // multi-index Hamming: 4 × 16-bit chunks
+    hammingRadius: Int = 7,    // probe expands ⌊radius/bands⌋-bit flips per chunk
+    maxBucketSize: Int = 256,  // LSH bucket salting threshold; salted buckets are logged
     salts: Int = 8             // salt fan-out for hot buckets
 ) {
   require(lshBands * lshRowsPerBand == minhashLanes, "bands*rows must equal lanes")
-  require(hammingRadius < hammingBands, s"pigeonhole needs radius < bands")
+  require(64 % hammingBands == 0, "hash width must divide into equal chunks")
+  require(hammingRadius / hammingBands <= 2,
+    "flip enumeration impractical past 2 bits per chunk — use more bands")
 }
 
 /** Disposition policy — reference `process_duplicates`

@@ -61,12 +61,15 @@ class KeysSpec extends SparkSpec {
 
   test("lshBandHashes == bandHashes(minhashSignature) — fused and unfused agree") {
     val df = Seq("the quick brown fox jumps over the lazy dog today").toDF("c")
-      .select(Keys.shingles(col("c"), 3).as("sh"))
+      .select(Keys.shingleHashes(Keys.shingles(col("c"), 3)).as("hh"))
       .persist()
-    val a = df.select(Keys.lshBandHashes(col("sh"), 4, 4).as("v")).first().getSeq[Long](0)
-    val b = df.select(Keys.bandHashes(Keys.minhashSignature(col("sh"), 16), 4, 4).as("v"))
+    val a = df.select(Keys.lshBandHashes(col("hh"), 4, 4).as("v")).first().getSeq[Long](0)
+    val b = df.select(Keys.bandHashes(Keys.minhashSignature(col("hh"), 16), 4, 4).as("v"))
       .first().getSeq[Long](0)
     assert(a == b)
+    // lane mixing really varies by lane: 16 distinct signature values
+    val sig = df.select(Keys.minhashSignature(col("hh"), 16).as("v")).first().getSeq[Long](0)
+    assert(sig.distinct.size > 8, s"lanes should differ: $sig")
     df.unpersist()
   }
 
