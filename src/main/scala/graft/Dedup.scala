@@ -89,4 +89,38 @@ object Dedup {
     val b = members.select(col("cluster_id"), col("image_id").as("id2"))
     a.join(b, "cluster_id").where(col("id1") < col("id2")).select("id1", "id2")
   }
+
+  /** Checkpointed end-to-end run — the north_rule's "resumable from
+    * checkpoint with per-partition lineage + metrics": every stage boundary
+    * commits a snapshot under `stateRoot` (TableIO §7.6 facade — swap for
+    * Iceberg where a runtime jar exists); a restarted run resumes from the
+    * last committed stage instead of recomputing (reference analogue: the
+    * persistent hash cache made rehashing incremental, hash_manager.py:
+    * 112-158). A `metrics` table row per stage records row counts +
+    * candidate-source stats for lineage. */
+  def runCheckpointed(df: DataFrame, cfg: DedupConfig, stateRoot: String): DataFrame = {
+    val spark = df.sparkSession
+    import graft.state.TableIO
+    val filtered = filterRows(df, cfg.filter)
+    val edges = TableIO.stageCheckpoint(spark, s"$stateRoot/edges", "edges") {
+      val (e, m) = candidateEdges(filtered, cfg)
+      TableIO.commit(m, s"$stateRoot/metrics_candidates", "candidate_metrics")
+      e
+    }
+    val cc = TableIO.stageCheckpoint(spark, s"$stateRoot/clusters", "clusters") {
+      ConnectedComponents.run(edges)
+    }
+    val actions = TableIO.stageCheckpoint(spark, s"$stateRoot/actions", "actions") {
+      val members = filtered
+        .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
+        .select("image_id", "role", "cluster_id")
+      Resolver.resolve(members, cfg.resolve)
+    }
+    val runMetrics = actions.groupBy("disposition").count()
+      .select(lit("disposition").as("metric"), col("disposition").as("key"),
+              col("count").as("value"))
+    TableIO.commit(runMetrics, s"$stateRoot/metrics_run", "run_metrics")
+    actions
+  }
 }

@@ -226,8 +226,8 @@ object SparkEntry {
 
     // ANN top-1 via random-hyperplane LSH buckets — the 100 TB similarity-
     // search path (shuffle bounded by bucket id). Approximate by design →
-    // rows-only driver check; recall vs brute force is asserted in
-    // AnnRecallSpec under sbt test.
+    // rows-only driver check; planted-neighbor recall ≥ 0.95 is asserted
+    // in OpsSpec under sbt test.
     "q_ann_top1" -> ((s, dir) =>
       EmbeddingOps.annTop1(t(s, dir, "embeddings"), "vec_id", "embedding",
                            dim = 64, nBits = 8)

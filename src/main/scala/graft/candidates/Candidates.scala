@@ -61,9 +61,14 @@ object Candidates {
   def pairsWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
                          cap: Int, kind: String): (DataFrame, DataFrame) = {
     val ks = keyCols.map(col)
+    // persisted: read once for bucket sizes (inside the broadcast build,
+    // which must finish within spark.sql.broadcastTimeout) and once for the
+    // salted self-join — without it the exploded frame computes twice and
+    // the broadcast races its timeout against the full upstream plan
     val rows = keyed
       .select((keyCols :+ idCol).map(col): _*)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(ks: _*).agg(count(lit(1)).as("_bsz"))
     val oversized = sizes.where(col("_bsz") > cap)
       .withColumn("_nsalt", ceil(col("_bsz").cast("double") / cap).cast("int"))
@@ -149,15 +154,18 @@ object Candidates {
   }
 
   /** pHash Hamming candidates via **multi-index Hamming search** (Norouzi
-    * et al., CVPR'12): the 64-bit hash splits into `hammingBands` wide
-    * chunks (default 4 × 16 bits); the probe side explodes every ≤⌊r/m⌋-bit
-    * flip of each chunk and equi-joins the index side's exact chunk values.
-    * Pigeonhole makes this recall-lossless for distance ≤ radius, and wide
-    * chunks keep buckets selective at 10¹² rows — narrow 8-bit bands would
-    * put every row in O(n/256)-sized buckets and the block join would
-    * degenerate quadratically. Verification is exact `bit_count(xor) ≤ r`.
-    * Skew guards: identical-phash collapse up front (the degenerate mass),
-    * AQE skew-join on the residual block join. Returns (edges, metrics). */
+    * et al., CVPR'12): the 64-bit hash splits into `hammingBands` WIDE
+    * chunks (default 2 × 32 bits); the probe side explodes every
+    * ≤`hammingSubRadius`-bit flip of each chunk and equi-joins the index
+    * side's exact chunk values. Pigeonhole guarantees recall for distance
+    * ≤ bands×(subRadius+1)−1; beyond that (up to the exact-verify
+    * `hammingRadius`) recall is probabilistic — see NearDupConfig for the
+    * selectivity/guarantee trade and why narrow chunks (8 or 16 bits) make
+    * the block join quadratic in n and are NOT usable past ~10⁵ rows.
+    * Verification is exact `bit_count(xor) ≤ r`. Skew guards:
+    * identical-phash collapse up front (the degenerate mass — 60% of
+    * re-encode pairs in the fixture), AQE skew-join on the residual block
+    * join. Returns (edges, metrics). */
   def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
                         cfg: NearDupConfig): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
@@ -173,8 +181,7 @@ object Candidates {
               posexplode(Keys.hammingBands(col(phashCol), cfg.hammingBands))
                 .as(Seq("band_id", "band_val")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val masks = Keys.flipMasks(64 / cfg.hammingBands,
-                               cfg.hammingRadius / cfg.hammingBands)
+    val masks = Keys.flipMasks(64 / cfg.hammingBands, cfg.hammingSubRadius)
     val probe = reps.select(col(idCol).as("_pid"), col(phashCol).as("_pp"),
         col("band_id"),
         explode(array(masks.map(m => col("band_val").bitwiseXOR(lit(m))): _*))

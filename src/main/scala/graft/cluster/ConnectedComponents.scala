@@ -73,13 +73,17 @@ object ConnectedComponents {
       // logical plan — a persist alone leaves the plan tree growing
       // exponentially across iterations. On a multi-node cluster this becomes
       // a reliable checkpoint / table write (TableIO.stageCheckpoint).
+      // lazy localCheckpoint: the signature aggregation below is the action
+      // that materializes it — ONE job per iteration (eager checkpoint +
+      // separate agg was two), and the plan still truncates for the next
+      // round (a persist alone leaves the tree growing exponentially).
       val small = withMin
         .select(col("src"), col("m").as("dst"))
         .union(withMin.where(col("dst") =!= col("m"))
           .select(col("dst").as("src"), col("m").as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // convergence: edge set stable (count + order-independent xor-hash —
       // xor, not sum: ANSI mode makes long-sum overflow an error)
       val sig = small.agg(

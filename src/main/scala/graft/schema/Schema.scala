@@ -72,15 +72,29 @@ final case class NearDupConfig(
     lshBands: Int = 16,        // bands × rowsPerBand == minhashLanes
     lshRowsPerBand: Int = 4,
     jaccardThreshold: Double = 0.8,   // verify-stage exact Jaccard
-    hammingBands: Int = 4,     // multi-index Hamming: 4 × 16-bit chunks
-    hammingRadius: Int = 7,    // probe expands ⌊radius/bands⌋-bit flips per chunk
+    // pHash blocking: multi-index Hamming with WIDE chunks. Chunk width
+    // (64/bands) is the selectivity lever: random-bucket density is
+    // n/2^width, so 32-bit chunks stay collision-free to n ≈ 10⁹ while
+    // 16-bit chunks already average 60+ rows/bucket at n = 4·10⁶ and the
+    // probe join degenerates quadratically (measured). Guaranteed blocking
+    // radius = bands × (subRadius+1) − 1 (pigeonhole); pairs between that
+    // and `hammingRadius` are caught probabilistically and the verify stage
+    // is exact either way. Defaults (2 × 32-bit, 1-flip probes): guarantee
+    // d ≤ 3, catch 62.5% of d = 4 — the synthetic corpus' jpg-q90
+    // re-encodes measure max d = 4 with 60% at d = 0 (identical-phash
+    // collapse) and 1.7% at d = 4. At 10¹² rows even 32-bit chunks
+    // saturate; the design note is to move to a 128-bit perceptual hash or
+    // shard by a coarse content descriptor first.
+    hammingBands: Int = 2,     // 2 × 32-bit chunks
+    hammingSubRadius: Int = 1, // flip-enumeration bits per chunk probe
+    hammingRadius: Int = 7,    // exact verify: bit_count(xor) ≤ radius
     maxBucketSize: Int = 256,  // LSH bucket salting threshold; salted buckets are logged
     salts: Int = 8             // salt fan-out for hot buckets
 ) {
   require(lshBands * lshRowsPerBand == minhashLanes, "bands*rows must equal lanes")
   require(64 % hammingBands == 0, "hash width must divide into equal chunks")
-  require(hammingRadius / hammingBands <= 2,
-    "flip enumeration impractical past 2 bits per chunk — use more bands")
+  require(hammingSubRadius <= 2,
+    "flip enumeration impractical past 2 bits per chunk")
 }
 
 /** Disposition policy — reference `process_duplicates`

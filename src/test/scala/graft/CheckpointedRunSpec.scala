@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.gen.Corpus
+import graft.schema.DedupConfig
+import graft.state.TableIO
+
+/** Resumable checkpointed pipeline: stage snapshots commit under the state
+  * root, a rerun reuses them (no recompute), and results equal the
+  * non-checkpointed run's. */
+class CheckpointedRunSpec extends SparkSpec {
+
+  test("runCheckpointed == run, commits stage snapshots + metrics, resumes") {
+    val root = Files.createTempDirectory("graft_ckpt").toString
+    val corpus = Corpus.generate(spark, nClusters = 40, skewCopies = 10).toDF().cache()
+    val cfg = DedupConfig()
+
+    val direct = Dedup.run(corpus, cfg)
+      .select("image_id", "cluster_id", "disposition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val ckpt = Dedup.runCheckpointed(corpus, cfg, root)
+      .select("image_id", "cluster_id", "disposition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(ckpt == direct, "checkpointed run must produce identical actions")
+
+    // all stage snapshots committed
+    assert(TableIO.lastSnapshot(s"$root/edges").exists(_.stage == "edges"))
+    assert(TableIO.lastSnapshot(s"$root/clusters").exists(_.stage == "clusters"))
+    assert(TableIO.lastSnapshot(s"$root/actions").exists(_.stage == "actions"))
+    assert(TableIO.lastSnapshot(s"$root/metrics_run").isDefined)
+    val metrics = TableIO.read(spark, s"$root/metrics_run").get
+    assert(metrics.where(col("key") === "keep").count() == 1)
+
+    // resume: second run must reuse the committed snapshots (same ids)
+    val edgeSnapBefore = TableIO.lastSnapshot(s"$root/edges").get.id
+    val again = Dedup.runCheckpointed(corpus, cfg, root)
+      .select("image_id", "cluster_id", "disposition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(again == direct)
+    assert(TableIO.lastSnapshot(s"$root/edges").get.id == edgeSnapBefore,
+      "resume must not recommit the edges stage")
+    corpus.unpersist()
+  }
+}
