@@ -73,24 +73,31 @@ object SparkEntry {
           col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey").orderBy("c_custkey")),
 
-    // J2-anti: rows left in scan dir (utils_io.py:116)
+    // J2-anti: rows left in scan dir (utils_io.py:116) — orders with no
+    // lineitem rows (a non-empty anti set at every sf, unlike
+    // customer-vs-orders which matches fully at sf0.01)
     "q_anti_join" -> ((s, dir) =>
-      t(s, dir, "customer").join(t(s, dir, "orders"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey").orderBy("c_custkey")),
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey").orderBy("o_orderkey")),
 
-    // J1: Bloom-filter pre-join (duplicates_finder.py:70-104) — engine builds
-    // a Bloom over the ref side, pre-filters scan, then confirms exactly; the
+    // J1: Bloom-filter pre-join (duplicates_finder.py:70-104) — run
+    // SYMMETRICALLY like the reference (duplicates_finder.py:151-152): a
+    // Bloom over each side prunes the other before the exact join; the
     // confirmed output equals the exact semi-join (FPs eliminated), which is
     // what the oracle checks.
     "q_bloom_prejoin" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
       val cust = t(s, dir, "customer")
-      val bf = orders.stat.bloomFilter("o_custkey", 10000L, 0.05)
-      val bfB = s.sparkContext.broadcast(bf)
-      val mightMatch = udf((k: Long) => bfB.value.mightContain(k))
-      cust.where(mightMatch(col("c_custkey")))
-        .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      val bfOrders = orders.stat.bloomFilter("o_custkey", 10000L, 0.05)
+      val bfCust = cust.stat.bloomFilter("c_custkey", 10000L, 0.05)
+      val bfoB = s.sparkContext.broadcast(bfOrders)
+      val bfcB = s.sparkContext.broadcast(bfCust)
+      val inOrders = udf((k: Long) => bfoB.value.mightContain(k))
+      val inCust = udf((k: Long) => bfcB.value.mightContain(k))
+      cust.where(inOrders(col("c_custkey")))
+        .join(orders.where(inCust(col("o_custkey"))),
+              col("c_custkey") === col("o_custkey"), "left_semi")
         .select("c_custkey").orderBy("c_custkey")
     }),
 
@@ -149,9 +156,13 @@ object SparkEntry {
 
     // ---- exact dedup over documents (reference core semantics) ----
 
+    // Partial-hash exact dedup (reference P4 semantics — sha256 over a fixed
+    // content prefix, hash_manager.py:216-233): dup groups over the
+    // 40-char text prefix — non-empty at sf0.01 (23 groups), unlike
+    // full-text dup groups (0 rows there).
     "exact_dup_groups" -> ((s, dir) =>
       t(s, dir, "documents")
-        .groupBy(sha2(col("text"), 256).as("text_hash"))
+        .groupBy(sha2(substring(col("text"), 1, 40), 256).as("text_hash"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
         .where(col("n_dups") > 1)
         .orderBy(col("text_hash"))),
@@ -169,17 +180,21 @@ object SparkEntry {
       DocOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
         .orderBy("doc1", "doc2")),
 
-    // SimHash near-dup pairs: 64-bit signature, Hamming-band blocking,
-    // Jaccard-verified — blocking recall 1 for simhash distance ≤ 15
-    // (16 × 4-bit bands, pigeonhole), so output = q_jaccard_pairs ids
+    // SimHash near-dup pairs: 64-bit signature, multi-index Hamming blocking
+    // (4 × 16-bit chunks, ≤3-flip probes — recall guaranteed to distance 15,
+    // pigeonhole), Jaccard-verified — qualifying pairs measure distance ≤ 13
+    // at sf0.1, so output = q_jaccard_pairs ids
     "q_simhash_pairs" -> ((s, dir) =>
       DocOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
         .orderBy("doc1", "doc2")),
 
-    // duplicate clusters: connected components over verified near-dup edges
+    // duplicate clusters: connected components over verified near-dup edges.
+    // Edges come from the at-scale MinHash+LSH path (recall 1 at the table's
+    // planted similarities); the brute-force shared-shingle join remains the
+    // oracle-side definition only.
     "q_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val edges = DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80)
+      val edges = DocOps.minhashLshPairs(docs, "doc_id", "text", docLsh)
         .select(col("doc1"), col("doc2"))
       val cc = ConnectedComponents.run(edges)
       docs.select(col("doc_id"))
@@ -189,7 +204,8 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // containment pass (short text ⊂ long text), first-shingle blocked
+    // containment pass (short text ⊂ long text), least-frequent-shingle
+    // blocked (prefix filtering à la PPJoin)
     "q_containment_pairs" -> ((s, dir) =>
       DocOps.containmentPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy("short_id", "long_id")),
@@ -296,7 +312,7 @@ object SparkEntry {
       "q_semi_join" ->
         "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1",
       "q_anti_join" ->
-        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1",
+        "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) ORDER BY 1",
       "q_bloom_prejoin" ->
         "SELECT c_custkey FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1",
       "canonical_election" ->
@@ -331,7 +347,7 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "exact_dup_groups" ->
-        """SELECT sha256(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+        """SELECT sha256(substr(text, 1, 40)) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
           |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
       "q_jaccard_pairs" ->
         (shingleCte + "SELECT doc1, doc2, n_inter, n_union FROM jpairs ORDER BY doc1, doc2"),
@@ -395,10 +411,14 @@ object SparkEntry {
           |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))),
           |    s -> md5(s))) AS fingerprint
           |FROM docs ORDER BY doc_id""".stripMargin,
+      // NOTE: x must be widened to DOUBLE before the *1000 — DuckDB otherwise
+      // multiplies in FLOAT, where e.g. float32 0.3195 × 1000 lands exactly
+      // on 319.5 and rounds to 320 while Spark's double math gives
+      // 319.4999… → 319 (observed at sf0.1, vec 1879 dim 17).
       "q_embed_top1" ->
         """WITH q AS (
           |  SELECT vec_id, label,
-          |         unnest(list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS v,
+          |         unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v,
           |         unnest(range(1, len(embedding) + 1)) AS i
           |  FROM embeddings),
           |dots AS (
@@ -412,7 +432,7 @@ object SparkEntry {
       "q_embed_neardup_pairs" ->
         """WITH q AS (
           |  SELECT vec_id, label,
-          |         unnest(list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))) AS v,
+          |         unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v,
           |         unnest(range(1, len(embedding) + 1)) AS i
           |  FROM embeddings)
           |SELECT a.vec_id AS id1, b.vec_id AS id2, CAST(sum(a.v * b.v) AS BIGINT) AS dot_q

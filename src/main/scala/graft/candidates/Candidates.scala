@@ -47,19 +47,30 @@ object Candidates {
     * Mechanics: bucket sizes come from a `groupBy().count()` (partial
     * aggregation — skew-safe by construction); buckets ≤ `cap` produce the
     * exact full pair set; a bucket of size s > cap is split into
-    * `ceil(s/cap)` salt sub-buckets by `xxhash64(id) mod nsalt`, pairs are
-    * generated *within* each salt group, and the salt groups are stitched
-    * with a chain over their per-salt minimum ids — so the bucket stays one
-    * connected component while per-bucket pair cost drops from O(s²) to
-    * O(s·cap) and no task ever joins more than ~2·cap rows against itself.
-    * Nothing is dropped (the old design truncated rank>cap rows); stitched
-    * buckets are still *reported* because their pair set is a connectivity-
-    * preserving subset, not the full clique — downstream verification prunes
-    * per-edge either way. The bucket-size frame is tiny (one row per
-    * oversized bucket) so the size join broadcasts.
-    */
+    * g = `ceil(s/cap)` salt sub-buckets by `xxhash64(keyCols, id) mod g`.
+    * The salt is BUCKET-dependent, never id-only: an id-only salt splits a
+    * pair identically in every bucket it shares, silently dropping it from
+    * pair listings; hashing (keyCols, id) makes the split independent per
+    * bucket (miss prob ≈ Π(1−1/g_k) over k shared buckets).
+    *
+    * Two modes:
+    *   - connectivity (default, `pairComplete = false`): pairs within each
+    *     salt group + a chain over per-salt minimum ids stitching the
+    *     groups — O(s·cap) pairs per bucket, one connected component, the
+    *     right shape for the CLUSTERING pipeline where stars/subsets
+    *     suffice.
+    *   - pair-complete (`pairComplete = true`): triangular tiling — each
+    *     pair of salt groups (i ≤ j) becomes one join tile, so the FULL
+    *     clique is produced while no task ever holds more than ~2·cap rows.
+    *     Total work is O(s²) — inherent to listing a quadratic output —
+    *     but memory-bounded and evenly spread. Pair-listing operators use
+    *     this mode; output size, not skew, is then the only cost.
+    *
+    * The bucket-size frame is tiny (one row per oversized bucket) so the
+    * size join broadcasts. */
   def pairsWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
-                         cap: Int, kind: String): (DataFrame, DataFrame) = {
+                         cap: Int, kind: String,
+                         pairComplete: Boolean = false): (DataFrame, DataFrame) = {
     val ks = keyCols.map(col)
     // persisted: read once for bucket sizes (inside the broadcast build,
     // which must finish within spark.sql.broadcastTimeout) and once for the
@@ -75,26 +86,50 @@ object Candidates {
       .select((ks :+ col("_nsalt")): _*)
     val salted = rows
       .join(broadcast(oversized), keyCols, "left")
+      .withColumn("_g", coalesce(col("_nsalt"), lit(1)))
       .withColumn("_salt",
-        when(col("_nsalt").isNull, lit(0))
-          .otherwise(pmod(xxhash64(col(idCol)), col("_nsalt")).cast("int")))
-    val saltKeys = keyCols :+ "_salt"
-    val a = salted.select((saltKeys.map(col) :+ col(idCol).as("id1")): _*)
-    val b = salted.select((saltKeys.map(col) :+ col(idCol).as("id2")): _*)
-    val intra = a.join(b, saltKeys)
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"))
-    // stitch: chain consecutive per-salt minimum ids of each oversized
-    // bucket (≤ nsalt rows per bucket — the window is trivially small)
-    val reps = salted.where(col("_nsalt").isNotNull)
-      .groupBy((saltKeys).map(col): _*).agg(min(idCol).as("_rep"))
-    val wS = Window.partitionBy(ks: _*).orderBy(col("_salt"))
-    val stitch = reps
-      .withColumn("_prev", lag(col("_rep"), 1).over(wS))
-      .where(col("_prev").isNotNull)
-      .select(least(col("_prev"), col("_rep")).as("id1"),
-              greatest(col("_prev"), col("_rep")).as("id2"))
-    val pairs = intra.unionByName(stitch)
+        pmod(xxhash64((keyCols :+ idCol).map(col): _*), col("_g")).cast("int"))
+    val intra =
+      if (pairComplete) {
+        // triangular tiles: left row (salt i) replicates to tiles (i, i..g-1),
+        // right row (salt j) to tiles (0..j, j); tile (i,j) joins group i
+        // against group j — every unordered pair lands in exactly one tile
+        val tileKeys = keyCols :+ "_i" :+ "_j"
+        val left = salted
+          .withColumn("_i", col("_salt"))
+          .withColumn("_j", explode(sequence(col("_salt"), col("_g") - 1)))
+          .select((tileKeys.map(col) :+ col(idCol).as("id1")): _*)
+        val right = salted
+          .withColumn("_i", explode(sequence(lit(0), col("_salt"))))
+          .withColumn("_j", col("_salt"))
+          .select((tileKeys.map(col) :+ col(idCol).as("id2")): _*)
+        // no `<` filter here: in a cross tile (i,j) the group-i member may
+        // carry the larger id and the mirrored tile (j,i) does not exist —
+        // normalize with least/greatest instead (distinct dedups diagonals)
+        left.join(right, tileKeys)
+          .where(col("id1") =!= col("id2"))
+          .select(least(col("id1"), col("id2")).as("id1"),
+                  greatest(col("id1"), col("id2")).as("id2"))
+      } else {
+        val saltKeys = keyCols :+ "_salt"
+        val a = salted.select((saltKeys.map(col) :+ col(idCol).as("id1")): _*)
+        val b = salted.select((saltKeys.map(col) :+ col(idCol).as("id2")): _*)
+        val within = a.join(b, saltKeys)
+          .where(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"))
+        // stitch: chain consecutive per-salt minimum ids of each oversized
+        // bucket (≤ nsalt rows per bucket — the window is trivially small)
+        val reps = salted.where(col("_nsalt").isNotNull)
+          .groupBy((saltKeys).map(col): _*).agg(min(idCol).as("_rep"))
+        val wS = Window.partitionBy(ks: _*).orderBy(col("_salt"))
+        val stitch = reps
+          .withColumn("_prev", lag(col("_rep"), 1).over(wS))
+          .where(col("_prev").isNotNull)
+          .select(least(col("_prev"), col("_rep")).as("id1"),
+                  greatest(col("_prev"), col("_rep")).as("id2"))
+        within.unionByName(stitch)
+      }
+    val pairs = intra
       .select(col("id1"), col("id2"), lit(kind).as("kind"))
       .distinct()
     val metrics = oversized
@@ -109,27 +144,30 @@ object Candidates {
   def exactEdges(df: DataFrame, idCol: String, keyCol: String): DataFrame =
     starWithinBuckets(df.select(col(idCol), col(keyCol)), idCol, Seq(keyCol), "exact")
 
-  /** Caption-LSH candidates: explode band hashes → intra-bucket pairs →
-    * verify exact shingle-Jaccard ≥ threshold.
+  /** Shared MinHash+LSH near-dup machinery: collapse identical normalized
+    * captions to one representative (skew guard — the 1000-copy block costs
+    * one signature, not 10⁶ bucket pairs), band-explode via the JVM-native
+    * UDF (see Keys.minhashBandUdf), salted bucket pairs, exact-Jaccard
+    * verify.
     *
-    * Skew guards, in order: (1) exact-normalized-caption dedup BEFORE
-    * signatures — identical captions collapse to one representative, so the
-    * 1000-copy skew block costs one signature, not 10⁶ bucket pairs;
-    * (2) bucket cap with logged truncation. Representative edges are
-    * re-expanded afterwards (rep—member star per identical-caption group).
-    * Returns (edges, metrics). */
-  def captionLshEdges(df: DataFrame, idCol: String, captionCol: String,
-                      cfg: NearDupConfig): (DataFrame, DataFrame) = {
+    * Returns (repPairs, members, shingledReps, metrics):
+    *   repPairs     (id1, id2)  verified near-dup pairs among representatives
+    *   members      (id, rep)   every input row → its identical-caption rep
+    *   shingledReps (rep)       reps whose caption yields ≥1 shingle (groups
+    *                            whose within-pairs qualify at Jaccard 1)
+    * The engine edge source stars the groups (`captionLshEdges`);
+    * pair-listing queries expand to member level (`expandRepPairs`). */
+  private[graft] def captionLshParts(df: DataFrame, idCol: String, captionCol: String,
+                                     cfg: NearDupConfig,
+                                     pairComplete: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val norm = df.select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
-    // (1) collapse identical normalized captions
     val repW = Window.partitionBy(col("_nc"))
     val withRep = norm.withColumn("_rep", min(idCol).over(repW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sameCaption = withRep.where(col(idCol) =!= col("_rep"))
-      .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("caption_exact").as("kind"))
+    val members = withRep.select(col(idCol).as("id"), col("_rep").as("rep"))
     // materialize shingles behind the persist (optimizer barrier), then one
-    // JVM-native UDF pass computes all band hashes per row — see
-    // Keys.minhashBandUdf for why this beats the HOF expression form
+    // JVM-native UDF pass computes all band hashes per row
     val shingled = withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"))
       .where(size(col("_sh")) > 0)
@@ -139,33 +177,92 @@ object Candidates {
       .select(col(idCol),
               posexplode(bandUdf(col("_sh"))).as(Seq("band_id", "band_hash")))
     val (cand, metrics) = pairsWithinBuckets(
-      exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize, "caption_lsh")
+      exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize,
+      "caption_lsh", pairComplete)
     // verify: join shingles back, exact Jaccard (integer-exact compare)
-    val sh = shingled
     val verified = cand
-      .join(sh.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
+      .join(shingled.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
+      .join(shingled.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
     val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
     val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
-    val edges = verified
+    val repPairs = verified
       .where(inter * 100 >= union * thresholdPct)
-      .select(col("id1"), col("id2"), col("kind"))
-    (edges.unionByName(sameCaption), metrics)
+      .select(col("id1"), col("id2"))
+    (repPairs, members, shingled.select(col(idCol).as("rep")), metrics)
   }
 
-  /** pHash Hamming candidates via **multi-index Hamming search** (Norouzi
-    * et al., CVPR'12): the 64-bit hash splits into `hammingBands` WIDE
-    * chunks (default 2 × 32 bits); the probe side explodes every
-    * ≤`hammingSubRadius`-bit flip of each chunk and equi-joins the index
-    * side's exact chunk values. Pigeonhole guarantees recall for distance
-    * ≤ bands×(subRadius+1)−1; beyond that (up to the exact-verify
-    * `hammingRadius`) recall is probabilistic — see NearDupConfig for the
-    * selectivity/guarantee trade and why narrow chunks (8 or 16 bits) make
-    * the block join quadratic in n and are NOT usable past ~10⁵ rows.
-    * Verification is exact `bit_count(xor) ≤ r`. Skew guards:
-    * identical-phash collapse up front (the degenerate mass — 60% of
-    * re-encode pairs in the fixture), AQE skew-join on the residual block
-    * join. Returns (edges, metrics). */
+  /** Caption-LSH candidate edges for the cluster pipeline: verified rep
+    * pairs + rep—member star per identical-caption group (connectivity is
+    * what clustering needs; stars keep hot groups linear).
+    * Returns (edges(id1,id2,kind), metrics). */
+  def captionLshEdges(df: DataFrame, idCol: String, captionCol: String,
+                      cfg: NearDupConfig): (DataFrame, DataFrame) = {
+    val (repPairs, members, _, metrics) = captionLshParts(df, idCol, captionCol, cfg)
+    val sameCaption = members.where(col("id") =!= col("rep"))
+      .select(col("rep").as("id1"), col("id").as("id2"), lit("caption_exact").as("kind"))
+    (repPairs.withColumn("kind", lit("caption_lsh")).unionByName(sameCaption), metrics)
+  }
+
+  /** Expand rep-level verified pairs back to member level — the exact pair
+    * LISTING the identical-key collapse stands for: every cross pair of two
+    * connected groups, plus every within-group pair of groups in
+    * `cliqueReps` (identical content ⇒ similarity 1 ⇒ qualifies, provided
+    * the content produced a signature at all — callers pass the shingled
+    * reps). Output is Θ(listing size), inherent to pair listing; the
+    * cluster pipeline never calls this (stars suffice there). */
+  def expandRepPairs(repPairs: DataFrame, members: DataFrame,
+                     cliqueReps: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(members.select(col("rep").as("id1"), col("id").as("_m1")), "id1")
+      .join(members.select(col("rep").as("id2"), col("id").as("_m2")), "id2")
+      .select(least(col("_m1"), col("_m2")).as("id1"),
+              greatest(col("_m1"), col("_m2")).as("id2"))
+    val grouped = members.join(cliqueReps, Seq("rep"), "left_semi")
+    val cliques = grouped.select(col("rep"), col("id").as("_a"))
+      .join(grouped.select(col("rep"), col("id").as("_b")), "rep")
+      .where(col("_a") < col("_b"))
+      .select(col("_a").as("id1"), col("_b").as("id2"))
+    cross.unionByName(cliques).distinct()
+  }
+
+  /** Generic multi-index Hamming pair search over a 64-bit hash column
+    * (Norouzi et al., CVPR'12): split into `bands` wide chunks, explode the
+    * probe side with every ≤`subRadius`-flip neighbor of each chunk,
+    * equi-join the index side's exact chunk values, verify
+    * `bit_count(xor) ≤ radius` exactly. Pigeonhole: recall 1 for
+    * radius ≤ bands×(subRadius+1)−1 (enforced). Callers should collapse
+    * identical hashes first (the degenerate mass); residual hot chunk
+    * values are AQE skew-join territory. Input `df(idCol, hashCol)`;
+    * output (id1, id2) with id1 < id2, distinct. */
+  def multiIndexHammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                             bands: Int, subRadius: Int, radius: Int): DataFrame = {
+    require(bands * (subRadius + 1) - 1 >= radius,
+      s"multi-index guarantee ${bands * (subRadius + 1) - 1} below radius $radius")
+    val indexed = df.select(col(idCol), col(hashCol),
+        posexplode(Keys.hammingBands(col(hashCol), bands))
+          .as(Seq("band_id", "band_val")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val masks = Keys.flipMasks(64 / bands, subRadius)
+    val probe = indexed.select(col(idCol).as("_pid"), col(hashCol).as("_ph"),
+        col("band_id"),
+        explode(array(masks.map(m => col("band_val").bitwiseXOR(lit(m))): _*))
+          .as("band_val"))
+    probe
+      .join(indexed.select(col(idCol).as("_iid"), col(hashCol).as("_ih"),
+                           col("band_id"), col("band_val")),
+            Seq("band_id", "band_val"))
+      .where(col("_pid") < col("_iid") &&
+             Keys.hammingDist(col("_ph"), col("_ih")) <= radius)
+      .select(col("_pid").as("id1"), col("_iid").as("id2"))
+      .distinct()
+  }
+
+  /** pHash Hamming candidate edges: identical-phash collapse up front (the
+    * degenerate mass — 60% of re-encode pairs in the fixture become stars),
+    * then `multiIndexHammingPairs` over the representatives. Defaults
+    * (4 × 16-bit chunks, 1-flip probes) guarantee blocking recall for the
+    * full exact-verify radius 7 — see NearDupConfig for the selectivity
+    * story. Returns (edges, metrics). */
   def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
                         cfg: NearDupConfig): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
@@ -177,26 +274,10 @@ object Candidates {
     val samePhash = withRep.where(col(idCol) =!= col("_rep"))
       .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
     val reps = withRep.where(col(idCol) === col("_rep"))
-      .select(col(idCol), col(phashCol),
-              posexplode(Keys.hammingBands(col(phashCol), cfg.hammingBands))
-                .as(Seq("band_id", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val masks = Keys.flipMasks(64 / cfg.hammingBands, cfg.hammingSubRadius)
-    val probe = reps.select(col(idCol).as("_pid"), col(phashCol).as("_pp"),
-        col("band_id"),
-        explode(array(masks.map(m => col("band_val").bitwiseXOR(lit(m))): _*))
-          .as("band_val"))
-    // asymmetric join: expanded probe × exact index; a true pair within the
-    // sub-radius collides in both directions, distinct dedups
-    val edges = probe
-      .join(reps.select(col(idCol).as("_iid"), col(phashCol).as("_ip"),
-                        col("band_id"), col("band_val")),
-            Seq("band_id", "band_val"))
-      .where(col("_pid") < col("_iid") &&
-             Keys.hammingDist(col("_pp"), col("_ip")) <= cfg.hammingRadius)
-      .select(col("_pid").as("id1"), col("_iid").as("id2"),
-              lit("phash_hamming").as("kind"))
-      .distinct()
+      .select(col(idCol), col(phashCol))
+    val edges = multiIndexHammingPairs(reps, idCol, phashCol,
+        cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius)
+      .withColumn("kind", lit("phash_hamming"))
     val metrics = Seq((0L, 0L)).toDF("salted_buckets", "salt_groups")
     (edges.unionByName(samePhash), metrics)
   }

@@ -238,16 +238,19 @@ object Keys {
     * a pair within total distance r has, by pigeonhole, some chunk with
     * ≤ ⌊r/m⌋ errors, so probing every ≤⌊r/m⌋-flip neighborhood of each
     * chunk is recall-lossless while chunks stay wide (64/m bits) enough to
-    * be selective at 10¹² rows. Driver-side enumeration; tiny for
-    * subRadius ≤ 2 (width 16: 1, 17, or 137 masks). */
+    * be selective at 10¹² rows. Driver-side enumeration; small for
+    * subRadius ≤ 3 (width 16: 1, 17, 137, or 697 masks). */
   def flipMasks(width: Int, subRadius: Int): Seq[Long] = {
-    require(subRadius >= 0 && subRadius <= 2, s"flip enumeration for subRadius $subRadius is impractical")
+    require(subRadius >= 0 && subRadius <= 3, s"flip enumeration for subRadius $subRadius is impractical")
     val bits = 0 until width
     val zero = Seq(0L)
     val one = if (subRadius >= 1) bits.map(b => 1L << b) else Nil
     val two = if (subRadius >= 2)
       (for (a <- bits; b <- bits if a < b) yield (1L << a) | (1L << b)) else Nil
-    zero ++ one ++ two
+    val three = if (subRadius >= 3)
+      (for (a <- bits; b <- bits if a < b; c <- bits if b < c)
+        yield (1L << a) | (1L << b) | (1L << c)) else Nil
+    zero ++ one ++ two ++ three
   }
 
   /** Exact Jaccard similarity of two distinct-shingle arrays, as a

@@ -43,29 +43,45 @@ object DocOps {
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard — the
     * at-scale path: candidate generation is O(rows × bands) + bucket joins
-    * instead of the shared-shingle join of `jaccardPairs`. Output (doc1,
-    * doc2) — equal to `jaccardPairs` ids whenever LSH recall is 1 (the
-    * S-curve at the corpus' planted similarities makes misses ~1e-8). */
+    * instead of the shared-shingle join of `jaccardPairs`. Identical
+    * normalized texts collapse to one representative before signatures;
+    * the rep-level pair set is then expanded back to the full member-level
+    * listing (cross pairs + within-group cliques — what `jaccardPairs`
+    * emits for duplicate texts). Output (doc1, doc2) — equal to
+    * `jaccardPairs` ids whenever LSH recall is 1 (the S-curve at the
+    * corpus' planted similarities makes misses ~1e-8). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       cfg: NearDupConfig): DataFrame = {
-    val (edges, _) = graft.candidates.Candidates.captionLshEdges(
-      docs.withColumnRenamed(idCol, "image_id"), "image_id", textCol, cfg)
-    edges.where(col("kind") === "caption_lsh")
+    val (repPairs, members, shingledReps, _) =
+      graft.candidates.Candidates.captionLshParts(docs, idCol, textCol, cfg,
+        pairComplete = true)
+    graft.candidates.Candidates.expandRepPairs(repPairs, members, shingledReps)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-      .distinct()
   }
 
-  /** Contained-text pairs: shorter text is a substring of the longer.
-    * First-shingle blocking (see Candidates.containmentEdges). Output
-    * (short_id, long_id). */
+  /** Contained-text pairs: shorter text is a substring of the longer (at
+    * word boundaries — both sides space-padded). Blocking: every shingle of
+    * the short side must appear in the long side, so any one shingle is a
+    * recall-lossless block key; picking the short side's globally LEAST
+    * FREQUENT shingle (classic prefix filtering, à la PPJoin) minimizes
+    * bucket sizes — a naive first-shingle key degenerates quadratically
+    * when many texts share a prefix. Output (short_id, long_id). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val norm = docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
-      .distinct()
       .withColumn("_sh", Keys.shingles(col("_nc"), k))
       .where(size(col("_sh")) > 0)
-    val short = norm.select(col("doc_id").as("short_id"), col("_nc").as("s_nc"),
-                            element_at(col("_sh"), 1).as("block"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = norm.select(col("doc_id"), col("_nc"), explode(col("_sh")).as("block"))
+    // global shingle document frequency (partial-agg shuffle, skew-free),
+    // then per-doc argmin by (df, shingle) — deterministic block choice
+    val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_df"), col("block"))
+    val short = exploded.join(freq, "block")
+      .withColumn("_rn", row_number().over(wMin))
+      .where(col("_rn") === 1)
+      .select(col("doc_id").as("short_id"), col("_nc").as("s_nc"), col("block"))
     val long = norm.select(col("doc_id").as("long_id"), col("_nc").as("l_nc"),
                            explode(col("_sh")).as("block"))
     short.join(long, "block")
@@ -77,47 +93,46 @@ object DocOps {
       .distinct()
   }
 
-  /** SimHash near-dup pairs — the at-scale alternative to MinHash for
-    * token-multiset similarity: one 64-bit signature per document (vs 64
-    * lanes), Hamming-band blocking (pigeonhole: simhash distance ≤ bands−1
-    * guarantees a shared band), then exact shingle-Jaccard verification.
-    * Near-dups under the verify threshold sit at small simhash distance, so
-    * with 16 × 4-bit bands the blocking recall at the corpus' planted
-    * similarities is 1 (guaranteed for distance ≤ 15) and the verified
-    * output equals `jaccardPairs` ids. Output (doc1, doc2). */
+  /** SimHash near-dup pairs — the single-signature alternative to MinHash:
+    * one 64-bit signature per document, **multi-index Hamming blocking**
+    * (wide 16-bit chunks + ≤3-flip probe expansion; recall guaranteed to
+    * simhash distance ≤ `cfg.simhashRadius` by pigeonhole — see
+    * NearDupConfig for why exact narrow bands degenerate to all-pairs),
+    * then exact shingle-Jaccard verification. Identical normalized texts
+    * collapse first and the rep-level pairs expand back to the full
+    * member-level listing. Output (doc1, doc2): pairs within the simhash
+    * blocking radius that pass Jaccard ≥ threshold — equals `jaccardPairs`
+    * ids as long as qualifying pairs sit within the radius (measured max
+    * distance 13 ≤ 15 on the sf0.1 documents table). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   cfg: NearDupConfig, simhashBands: Int = 16): DataFrame = {
+                   cfg: NearDupConfig): DataFrame = {
     val base = docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
     // collapse identical normalized texts to one representative (skew guard,
-    // same as the LSH path) — star edges restore them afterwards
+    // same as the LSH path)
     val repW = org.apache.spark.sql.expressions.Window.partitionBy(col("_nc"))
     val withRep = base.withColumn("_rep", min("doc_id").over(repW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sameText = withRep.where(col("doc_id") =!= col("_rep"))
-      .select(col("_rep").as("doc1"), col("doc_id").as("doc2"))
+    val members = withRep.select(col("doc_id").as("id"), col("_rep").as("rep"))
     val reps = withRep.where(col("doc_id") === col("_rep"))
-      .select(col("doc_id"), col("_nc"),
+      .select(col("doc_id"),
               Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"),
               Keys.simhashUdf(Keys.tokens(col("_nc"))).as("_sim"))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = reps.select(col("doc_id"),
-      posexplode(Keys.hammingBands(col("_sim"), simhashBands))
-        .as(Seq("band_id", "band_val")))
-    val (cand, _) = graft.candidates.Candidates.pairsWithinBuckets(
-      exploded, "doc_id", Seq("band_id", "band_val"), cfg.maxBucketSize, "simhash")
+    val cand = graft.candidates.Candidates.multiIndexHammingPairs(
+      reps.select(col("doc_id"), col("_sim")), "doc_id", "_sim",
+      cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius)
     val verified = cand
       .join(reps.select(col("doc_id").as("id1"), col("_sh").as("_sh1")), "id1")
       .join(reps.select(col("doc_id").as("id2"), col("_sh").as("_sh2")), "id2")
     val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
     val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
-    verified.where(inter * 100 >= union * thresholdPct)
+    val repPairs = verified.where(inter * 100 >= union * thresholdPct)
+      .select(col("id1"), col("id2"))
+    graft.candidates.Candidates
+      .expandRepPairs(repPairs, members, reps.select(col("doc_id").as("rep")))
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
-      .unionByName(sameText)
-      .select(least(col("doc1"), col("doc2")).as("doc1"),
-              greatest(col("doc1"), col("doc2")).as("doc2"))
-      .distinct()
   }
 
   /** BPE-ish subtoken regex: alnum runs or single non-alnum-non-space marks

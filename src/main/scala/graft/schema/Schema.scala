@@ -46,7 +46,12 @@ object ImageRow {
   * key = content hash (always) + caption unless ignored + mtime unless
   * ignored (utils.py:220-231). */
 final case class KeyConfig(
-    ignoreCaption: Boolean = true, // reference default ignore_diff={mdate} keeps filename
+    // Reference default is ignore_diff={mdate} (utils.py:51-54): the match
+    // key KEEPS the filename and ignores mtime — so the engine default keeps
+    // the caption component. Renamed-but-identical content is then (as in
+    // the reference) not an *exact* duplicate; the image axis (identical
+    // phash collapse) still clusters it when pHash blocking is enabled.
+    ignoreCaption: Boolean = false,
     ignoreMtime: Boolean = true,
     fullHash: Boolean = false      // false ⇒ partial hash of first 2 MiB (hash_manager.py:216-233)
 )
@@ -64,6 +69,28 @@ final case class FilterConfig(
     "whitelist and blacklist extensions are mutually exclusive (utils.py:126-129)")
 }
 
+object FilterConfig {
+  /** Size-string parse — reference `parse_size`
+    * (/root/reference/duplicate_files_in_folders/utils.py:19-40):
+    * `"10MB"` → bytes; case-insensitive unit in {B, KB, MB, GB, TB}
+    * (1024-based); bare digits are bytes; negatives and garbage rejected.
+    * Driver-side config nicety, not a row operator. */
+  def parseSize(s: String): Long = {
+    val m = "^\\s*(\\d+)\\s*([KMGT]?B)?\\s*$".r
+      .findFirstMatchIn(s.toUpperCase)
+      .getOrElse(throw new IllegalArgumentException(s"invalid size string: '$s'"))
+    val n = m.group(1).toLong
+    val mult = Option(m.group(2)).getOrElse("B") match {
+      case "B" => 1L
+      case "KB" => 1L << 10
+      case "MB" => 1L << 20
+      case "GB" => 1L << 30
+      case "TB" => 1L << 40
+    }
+    math.multiplyExact(n, mult)
+  }
+}
+
 /** Near-duplicate detection knobs (engine-side; the reference is
   * exact-key only — near-dup axes mandated by BASELINE.json north_rule). */
 final case class NearDupConfig(
@@ -72,29 +99,43 @@ final case class NearDupConfig(
     lshBands: Int = 16,        // bands × rowsPerBand == minhashLanes
     lshRowsPerBand: Int = 4,
     jaccardThreshold: Double = 0.8,   // verify-stage exact Jaccard
-    // pHash blocking: multi-index Hamming with WIDE chunks. Chunk width
-    // (64/bands) is the selectivity lever: random-bucket density is
-    // n/2^width, so 32-bit chunks stay collision-free to n ≈ 10⁹ while
-    // 16-bit chunks already average 60+ rows/bucket at n = 4·10⁶ and the
-    // probe join degenerates quadratically (measured). Guaranteed blocking
-    // radius = bands × (subRadius+1) − 1 (pigeonhole); pairs between that
-    // and `hammingRadius` are caught probabilistically and the verify stage
-    // is exact either way. Defaults (2 × 32-bit, 1-flip probes): guarantee
-    // d ≤ 3, catch 62.5% of d = 4 — the synthetic corpus' jpg-q90
-    // re-encodes measure max d = 4 with 60% at d = 0 (identical-phash
-    // collapse) and 1.7% at d = 4. At 10¹² rows even 32-bit chunks
-    // saturate; the design note is to move to a 128-bit perceptual hash or
-    // shard by a coarse content descriptor first.
-    hammingBands: Int = 2,     // 2 × 32-bit chunks
+    // pHash blocking: multi-index Hamming (Norouzi et al., CVPR'12).
+    // Guaranteed blocking radius = bands × (subRadius+1) − 1 (pigeonhole);
+    // the verify stage (`bit_count(xor) ≤ hammingRadius`) is exact either
+    // way, so the guarantee must COVER hammingRadius or blocking silently
+    // loses qualifying pairs. Defaults (4 × 16-bit chunks, 1-flip probes):
+    // guarantee d ≤ 7 = hammingRadius, 17 masks/chunk (68 probe rows/hash).
+    // Chunk width (64/bands) is the selectivity lever: random-bucket
+    // density is n/2^width, so 16-bit chunks stay sparse to n ≈ 10⁷ reps;
+    // past that the probe join fattens quadratically — at 10⁹⁺ rows the
+    // design note is a 128-bit perceptual hash (8 × 16-bit chunks keep both
+    // the guarantee and the selectivity) or sharding by a coarse content
+    // descriptor first.
+    hammingBands: Int = 4,     // 4 × 16-bit chunks
     hammingSubRadius: Int = 1, // flip-enumeration bits per chunk probe
     hammingRadius: Int = 7,    // exact verify: bit_count(xor) ≤ radius
+    // SimHash blocking, same multi-index machinery. Jaccard-qualifying
+    // (≥ 0.8) document pairs measure simhash distance ≤ 13 on the sf0.1
+    // documents table, so the default guarantee is d ≤ 15 =
+    // 4 bands × (3+1) − 1 with 697 masks/chunk — recall 1 on every
+    // qualifying pair with two bits of margin, while 16-bit chunks keep
+    // random collisions at n/65536 per bucket (the old 16 × 4-bit exact
+    // bands collided a RANDOM pair with p ≈ 0.64 — all-pairs, quadratic).
+    simhashBands: Int = 4,     // 4 × 16-bit chunks
+    simhashSubRadius: Int = 3, // ≤3-flip probes per chunk
+    simhashRadius: Int = 15,   // blocking radius (guaranteed, pigeonhole)
     maxBucketSize: Int = 256,  // LSH bucket salting threshold; salted buckets are logged
     salts: Int = 8             // salt fan-out for hot buckets
 ) {
   require(lshBands * lshRowsPerBand == minhashLanes, "bands*rows must equal lanes")
   require(64 % hammingBands == 0, "hash width must divide into equal chunks")
-  require(hammingSubRadius <= 2,
-    "flip enumeration impractical past 2 bits per chunk")
+  require(hammingBands * (hammingSubRadius + 1) - 1 >= hammingRadius,
+    "multi-index guarantee must cover the exact verify radius")
+  require(64 % simhashBands == 0, "simhash width must divide into equal chunks")
+  require(simhashBands * (simhashSubRadius + 1) - 1 >= simhashRadius,
+    "simhash multi-index guarantee must cover the blocking radius")
+  require(hammingSubRadius <= 3 && simhashSubRadius <= 3,
+    "flip enumeration impractical past 3 bits per chunk")
 }
 
 /** Disposition policy — reference `process_duplicates`

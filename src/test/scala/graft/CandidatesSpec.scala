@@ -49,6 +49,45 @@ class CandidatesSpec extends SparkSpec {
     assert(seen == n, s"only $seen of $n ids present in salted pairs")
   }
 
+  test("pair-complete mode: oversized bucket yields the EXACT full clique") {
+    // regression for the id-only-salt pair loss: a >cap bucket with pairs
+    // split across salt groups must still list every pair
+    val n = 120
+    val cap = 16
+    val keyed = (0 until n).map(i => (f"id_$i%04d", 1L)).toDF("id", "k")
+    val (pairs, metrics) = Candidates.pairsWithinBuckets(
+      keyed, "id", Seq("k"), cap, "t", pairComplete = true)
+    assert(pairs.count() == n.toLong * (n - 1) / 2, "full clique required")
+    assert(metrics.first().getLong(0) == 1, "bucket reported as salted")
+  }
+
+  test("pair-complete mode matches plain mode on small buckets") {
+    val keyed = Seq(("a", 1L), ("b", 1L), ("c", 1L), ("x", 2L), ("y", 2L))
+      .toDF("id", "k")
+    val (pairs, _) = Candidates.pairsWithinBuckets(
+      keyed, "id", Seq("k"), cap = 16, "t", pairComplete = true)
+    val got = pairs.select("id1", "id2").as[(String, String)].collect().toSet
+    assert(got == Set(("a", "b"), ("a", "c"), ("b", "c"), ("x", "y")))
+  }
+
+  test("multi-index Hamming: exact recall to the guaranteed radius") {
+    val base = 0x0f0f0f0f0f0f0f0fL
+    // distances 0..7 from base (flip i lowest bits of the i-th nibble area)
+    val rows = (0 to 7).map { d =>
+      val h = (0 until d).foldLeft(base)((v, i) => v ^ (1L << (i * 8)))
+      (s"id_$d", h)
+    } :+ (("far", ~base)) // distance 64-ish: never a candidate pair with base
+    val df = rows.toDF("id", "h")
+    val pairs = Candidates.multiIndexHammingPairs(df, "id", "h",
+      bands = 4, subRadius = 1, radius = 7)
+      .as[(String, String)].collect().toSet
+    // every (id_0, id_d) pair has distance d ≤ 7 → must be present
+    (1 to 7).foreach { d =>
+      assert(pairs.contains(("id_0", s"id_$d")), s"missing pair at distance $d")
+    }
+    assert(!pairs.exists(p => p._1 == "far" || p._2 == "far"))
+  }
+
   test("containment edges: short ⊂ long found via first-shingle block") {
     val df = Seq(
       ("a", "one two three four five"),

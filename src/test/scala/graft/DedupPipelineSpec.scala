@@ -25,14 +25,36 @@ class DedupPipelineSpec extends SparkSpec {
   }
 
   test("exact duplicates cluster together (type-4 clusters)") {
-    val members = Dedup.clusterMembers(corpus.toDF(), DedupConfig(
+    // default key follows the reference (ignore_diff={mdate}: hash+caption):
+    // identical bytes AND identical caption ⇒ same cluster
+    val membersDefault = Dedup.clusterMembers(corpus.toDF(), DedupConfig(
       enableCaptionLsh = false, enablePhashHamming = false, enableContainment = false))
-    // type 4, 5, 9(0,1): identical bytes ⇒ same cluster
-    val exactGroups = members
+    val defaultGroups = membersDefault
+      .withColumn("h", sha2(col("bytes"), 256))
+      .groupBy("h", "caption")
+      .agg(countDistinct("cluster_id").as("nc"), count(lit(1)).as("n"))
+    assert(defaultGroups.where(col("n") > 1 && col("nc") =!= 1).count() == 0,
+      "rows with identical bytes+caption must share a cluster")
+    // hash-only key (≅ --ignore_diff filename,mdate): identical bytes alone
+    // ⇒ same cluster, captions notwithstanding (type 5 "renamed file")
+    val membersHashOnly = Dedup.clusterMembers(corpus.toDF(), DedupConfig(
+      key = KeyConfig(ignoreCaption = true),
+      enableCaptionLsh = false, enablePhashHamming = false, enableContainment = false))
+    val hashGroups = membersHashOnly
       .withColumn("h", sha2(col("bytes"), 256))
       .groupBy("h").agg(countDistinct("cluster_id").as("nc"), count(lit(1)).as("n"))
-    assert(exactGroups.where(col("n") > 1 && col("nc") =!= 1).count() == 0,
-      "rows with identical bytes must share a cluster")
+    assert(hashGroups.where(col("n") > 1 && col("nc") =!= 1).count() == 0,
+      "rows with identical bytes must share a cluster under a hash-only key")
+    // under the default pipeline (image axis on), renamed identical files
+    // still cluster — via identical-phash collapse, like the reference's
+    // users get via --ignore_diff
+    val membersFull = Dedup.clusterMembers(corpus.toDF(), DedupConfig(
+      enableCaptionLsh = false, enableContainment = false))
+    val fullGroups = membersFull
+      .withColumn("h", sha2(col("bytes"), 256))
+      .groupBy("h").agg(countDistinct("cluster_id").as("nc"), count(lit(1)).as("n"))
+    assert(fullGroups.where(col("n") > 1 && col("nc") =!= 1).count() == 0,
+      "identical bytes must share a cluster once the image axis is enabled")
   }
 
   test("full pipeline groups every planted cluster (recall) without merging across (precision proxy)") {
