@@ -34,10 +34,17 @@ object Dedup {
   }
 
   /** Candidate edges from every enabled source, unioned.
+    * `hashCol`: name of a precomputed content-hash column (cache-first
+    * path); when absent the hash is computed inline from `bytes`.
     * Returns (edges(id1,id2,kind), metrics rows). */
-  def candidateEdges(df: DataFrame, cfg: DedupConfig): (DataFrame, DataFrame) = {
-    val keyed = df.withColumn("key",
-      Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime")))
+  def candidateEdges(df: DataFrame, cfg: DedupConfig,
+                     hashCol: Option[String] = None): (DataFrame, DataFrame) = {
+    val keyed = df.withColumn("key", hashCol match {
+      case Some(h) =>
+        Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime"))
+      case None =>
+        Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
+    })
     var edges = Candidates.exactEdges(keyed, "image_id", "key")
     val spark = df.sparkSession
     import spark.implicits._
@@ -98,12 +105,36 @@ object Dedup {
     * persistent hash cache made rehashing incremental, hash_manager.py:
     * 112-158). A `metrics` table row per stage records row counts +
     * candidate-source stats for lineage. */
-  def runCheckpointed(df: DataFrame, cfg: DedupConfig, stateRoot: String): DataFrame = {
+  def runCheckpointed(df: DataFrame, cfg: DedupConfig, stateRoot: String,
+                      cacheRoot: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    import graft.state.TableIO
+    import graft.state.{HashCache, TableIO}
+    val hashCacheRoot = cacheRoot.getOrElse(s"$stateRoot/hash_cache")
     val filtered = filterRows(df, cfg.filter)
     val edges = TableIO.stageCheckpoint(spark, s"$stateRoot/edges", "edges") {
-      val (e, m) = candidateEdges(filtered, cfg)
+      // Cache-first hashing (reference X7 adaptive strategy +
+      // hash_manager.py:112-158): re-runs hash ONLY cache misses — at
+      // 100 TB this is the difference between re-reading every byte and a
+      // cheap id-keyed join against last run's hash table.
+      val ids = filtered.select("image_id")
+      val (hits, missIds) = HashCache.lookup(spark, hashCacheRoot, ids)
+      val fresh = filtered.join(missIds, Seq("image_id"), "left_semi")
+        .select(col("image_id"),
+                Keys.contentHash(col("bytes"), cfg.key.fullHash).as("hash_value"),
+                current_timestamp().as("updated_at"))
+      val nMisses = fresh.count()
+      val nHits = hits.count()
+      val allHashes =
+        if (nMisses == 0 && nHits > 0) hits.select("image_id", "hash_value")
+        else HashCache.merge(spark, hashCacheRoot, fresh)
+          .select("image_id", "hash_value")
+      import spark.implicits._
+      TableIO.commit(
+        Seq(("cache_hits", nHits), ("hashed_rows", nMisses))
+          .toDF("metric", "value"),
+        s"$stateRoot/metrics_hash", "hash_metrics")
+      val hashed = filtered.join(allHashes, Seq("image_id"))
+      val (e, m) = candidateEdges(hashed, cfg, hashCol = Some("hash_value"))
       TableIO.commit(m, s"$stateRoot/metrics_candidates", "candidate_metrics")
       e
     }

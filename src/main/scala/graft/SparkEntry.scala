@@ -257,7 +257,7 @@ object SparkEntry {
     // oracle (javax.imageio decode) → rows-only check; pixel-level
     // invariants are asserted in ImageOpsSpec.
     "q_image_features" -> ((s, dir) => {
-      val corpus = Corpus.generate(s, nClusters = 80, skewCopies = 20).toDF()
+      val corpus = Corpus.cached(s, nClusters = 80, skewCopies = 20)
       ImageOps.imageFeatures(corpus, "image_id", "bytes")
         .orderBy("image_id")
     }),
@@ -268,8 +268,50 @@ object SparkEntry {
     // (cluster semantics are oracle-checked via q_dup_clusters and the
     // planted-truth recall specs).
     "q_dedup_pipeline" -> ((s, dir) => {
-      val corpus = Corpus.generate(s, nClusters = 150, skewCopies = 40).toDF()
+      val corpus = Corpus.cached(s, nClusters = 150, skewCopies = 40)
       Dedup.run(corpus, DedupConfig()).orderBy("image_id")
+    }),
+
+    // S3: CSV duplicate report — cluster keys renumbered 1..N (dense_rank
+    // over distinct cluster ids, broadcast back), per-row formatted
+    // modified_time (duplicates_finder.py:226-246)
+    "q_csv_report" -> ((s, dir) => {
+      val grp = Window.partitionBy("user_id", "event_type")
+      val dups = t(s, dir, "events")
+        .withColumn("_n", count(lit(1)).over(grp))
+        .where(col("_n") > 1)
+        .select(concat(col("user_id").cast("string"), lit("/"), col("event_type"))
+                  .as("cluster_id"),
+                col("event_id").cast("string").as("path"),
+                length(col("props")).cast("long").as("size"),
+                col("ts").as("mtime"))
+      graft.resolve.Report.clusterReport(dups).orderBy("key", "path")
+    }),
+
+    // P2 key-composition matrix — the reference pins key composition under
+    // all four --ignore_diff combos (tests/test_duplicates_finder.py:21-51);
+    // this exercises Keys.matchKey per config and reports per-config group
+    // stats (events: props ≅ content bytes, event_type ≅ filename, ts ≅
+    // mtime)
+    "q_key_matrix" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("props").cast("binary").as("bytes"),
+        col("event_type").as("caption"),
+        col("ts").as("mtime"))
+      def arm(name: String, kc: graft.schema.KeyConfig) =
+        ev.select(graft.keys.Keys.matchKey(kc, col("bytes"), col("caption"), col("mtime")).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_keys"),
+               sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+               coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).as("n_dup_rows"))
+          .withColumn("key_config", lit(name))
+          .select("key_config", "n_keys", "n_dup_keys", "n_dup_rows")
+      import graft.schema.KeyConfig
+      arm("hash", KeyConfig(ignoreCaption = true, ignoreMtime = true))
+        .unionByName(arm("hash_caption", KeyConfig(ignoreCaption = false, ignoreMtime = true)))
+        .unionByName(arm("hash_mtime", KeyConfig(ignoreCaption = true, ignoreMtime = false)))
+        .unionByName(arm("hash_caption_mtime", KeyConfig(ignoreCaption = false, ignoreMtime = false)))
+        .orderBy("key_config")
     })
   )
 
@@ -415,6 +457,42 @@ object SparkEntry {
       // multiplies in FLOAT, where e.g. float32 0.3195 × 1000 lands exactly
       // on 319.5 and rounds to 320 while Spark's double math gives
       // 319.4999… → 319 (observed at sf0.1, vec 1879 dim 17).
+      "q_csv_report" ->
+        """WITH dups AS (
+          |  SELECT CAST(user_id AS VARCHAR) || '/' || event_type AS cluster_id,
+          |         CAST(event_id AS VARCHAR) AS path,
+          |         CAST(length(props) AS BIGINT) AS size, ts
+          |  FROM (SELECT *, count(*) OVER (PARTITION BY user_id, event_type) AS n FROM events)
+          |  WHERE n > 1)
+          |SELECT dense_rank() OVER (ORDER BY cluster_id) AS key, path, size,
+          |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS modified_time
+          |FROM dups ORDER BY key, path""".stripMargin,
+      "q_key_matrix" ->
+        """WITH g_h AS (SELECT count(*) AS n FROM events GROUP BY sha256(props)),
+          |g_hc AS (SELECT count(*) AS n FROM events GROUP BY sha256(props), event_type),
+          |g_hm AS (SELECT count(*) AS n FROM events GROUP BY sha256(props), ts),
+          |g_hcm AS (SELECT count(*) AS n FROM events GROUP BY sha256(props), event_type, ts)
+          |SELECT * FROM (
+          |  SELECT 'hash' AS key_config, count(*) AS n_keys,
+          |         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+          |         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS n_dup_rows
+          |  FROM g_h
+          |  UNION ALL
+          |  SELECT 'hash_caption', count(*),
+          |         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+          |  FROM g_hc
+          |  UNION ALL
+          |  SELECT 'hash_mtime', count(*),
+          |         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+          |  FROM g_hm
+          |  UNION ALL
+          |  SELECT 'hash_caption_mtime', count(*),
+          |         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+          |         CAST(coalesce(sum(CASE WHEN n > 1 THEN n END), 0) AS BIGINT)
+          |  FROM g_hcm)
+          |ORDER BY key_config""".stripMargin,
       "q_embed_top1" ->
         """WITH q AS (
           |  SELECT vec_id, label,

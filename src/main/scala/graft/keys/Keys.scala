@@ -24,8 +24,15 @@ object Keys {
     * `'{hash}[_{name}][_{mtime}]'` as a string; we use a struct to avoid the
     * separator-collision bug class entirely. Components beyond the hash are
     * config-gated exactly like `--ignore_diff`. */
-  def matchKey(cfg: KeyConfig, bytes: Column, caption: Column, mtime: Column): Column = {
-    val parts = Seq(contentHash(bytes, cfg.fullHash).as("h")) ++
+  def matchKey(cfg: KeyConfig, bytes: Column, caption: Column, mtime: Column): Column =
+    matchKeyFromHash(cfg, contentHash(bytes, cfg.fullHash), caption, mtime)
+
+  /** Match key from an ALREADY-COMPUTED content hash — the cache-first
+    * path (reference X7 adaptive strategy, duplicates_finder.py:164-167):
+    * a checkpointed re-run joins hashes from the hash_cache table instead
+    * of re-reading every byte. */
+  def matchKeyFromHash(cfg: KeyConfig, hash: Column, caption: Column, mtime: Column): Column = {
+    val parts = Seq(hash.as("h")) ++
       (if (!cfg.ignoreCaption) Seq(caption.as("c")) else Nil) ++
       (if (!cfg.ignoreMtime) Seq(mtime.cast("string").as("m")) else Nil)
     struct(parts: _*)

@@ -43,4 +43,32 @@ class CheckpointedRunSpec extends SparkSpec {
       "resume must not recommit the edges stage")
     corpus.unpersist()
   }
+
+  test("hash cache makes the second run hash only misses (X7 cache-first)") {
+    val cacheRoot = Files.createTempDirectory("graft_hcache").toString + "/hash_cache"
+    val corpus = Corpus.generate(spark, nClusters = 30, skewCopies = 5).toDF().cache()
+    val cfg = DedupConfig()
+
+    // first run: cold cache — every row hashed
+    val rootA = Files.createTempDirectory("graft_ckpt_a").toString
+    val a = Dedup.runCheckpointed(corpus, cfg, rootA, Some(cacheRoot))
+      .select("image_id", "cluster_id", "disposition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val mA = TableIO.read(spark, s"$rootA/metrics_hash").get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mA("hashed_rows") == corpus.count(), "cold cache hashes everything")
+    assert(mA("cache_hits") == 0)
+
+    // second run, fresh pipeline state but SAME cache: zero rows re-hashed
+    val rootB = Files.createTempDirectory("graft_ckpt_b").toString
+    val b = Dedup.runCheckpointed(corpus, cfg, rootB, Some(cacheRoot))
+      .select("image_id", "cluster_id", "disposition")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val mB = TableIO.read(spark, s"$rootB/metrics_hash").get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mB("hashed_rows") == 0, "warm cache must hash nothing")
+    assert(mB("cache_hits") == corpus.count())
+    assert(b == a, "cache-first hashing must not change results")
+    corpus.unpersist()
+  }
 }
