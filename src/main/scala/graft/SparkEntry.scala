@@ -180,10 +180,12 @@ object SparkEntry {
       DocOps.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
         .orderBy("doc1", "doc2")),
 
-    // SimHash near-dup pairs: 64-bit signature, multi-index Hamming blocking
-    // (4 × 16-bit chunks, ≤3-flip probes — recall guaranteed to distance 15,
-    // pigeonhole), Jaccard-verified — qualifying pairs measure distance ≤ 13
-    // at sf0.1, so output = q_jaccard_pairs ids
+    // SimHash near-dup pairs: all pairs within Hamming distance 7 of the
+    // md5-token 64-bit SimHash (Manku-style web-dedup contract). The
+    // signature is md5-based so DuckDB recomputes it EXACTLY — the oracle
+    // checks the pair set and distances bit-for-bit. Blocking: multi-index
+    // Hamming, 4 × 16-bit chunks + 1-flip probes (recall guaranteed to the
+    // full radius 7 by pigeonhole).
     "q_simhash_pairs" -> ((s, dir) =>
       DocOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text", docLsh)
         .orderBy("doc1", "doc2")),
@@ -395,8 +397,32 @@ object SparkEntry {
         (shingleCte + "SELECT doc1, doc2, n_inter, n_union FROM jpairs ORDER BY doc1, doc2"),
       "q_minhash_lsh_pairs" ->
         (shingleCte + "SELECT doc1, doc2 FROM jpairs ORDER BY doc1, doc2"),
+      // exact cross-engine SimHash: md5 token hashes (first 16 hex chars as
+      // uint64), sign-counter aggregation per bit, signature kept as two
+      // 32-bit halves (DuckDB BIGINT << 63 overflows), distance = sum of
+      // per-half bit_count(xor)
       "q_simhash_pairs" ->
-        (shingleCte + "SELECT doc1, doc2 FROM jpairs ORDER BY doc1, doc2"),
+        """WITH docs AS (
+          |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+          |  FROM documents),
+          |tok AS (
+          |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs) WHERE tok <> ''),
+          |bits AS (
+          |  SELECT doc_id, b.b AS b,
+          |         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          |  FROM tok, (SELECT unnest(range(0, 64)) AS b) AS b
+          |  GROUP BY 1, 2),
+          |sim AS (
+          |  SELECT doc_id,
+          |    bit_or(CASE WHEN c > 0 AND b >= 32 THEN CAST(1 AS BIGINT) << CAST(b - 32 AS INT) ELSE 0 END) AS hi,
+          |    bit_or(CASE WHEN c > 0 AND b < 32 THEN CAST(1 AS BIGINT) << CAST(b AS INT) ELSE 0 END) AS lo
+          |  FROM bits GROUP BY 1)
+          |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+          |       CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming_d
+          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+          |ORDER BY doc1, doc2""".stripMargin,
       "q_dup_clusters" ->
         (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
           """, edges AS (

@@ -233,7 +233,7 @@ object Candidates {
     * radius ≤ bands×(subRadius+1)−1 (enforced). Callers should collapse
     * identical hashes first (the degenerate mass); residual hot chunk
     * values are AQE skew-join territory. Input `df(idCol, hashCol)`;
-    * output (id1, id2) with id1 < id2, distinct. */
+    * output (id1, id2, hamming_d) with id1 < id2, distinct. */
   def multiIndexHammingPairs(df: DataFrame, idCol: String, hashCol: String,
                              bands: Int, subRadius: Int, radius: Int): DataFrame = {
     require(bands * (subRadius + 1) - 1 >= radius,
@@ -253,7 +253,8 @@ object Candidates {
             Seq("band_id", "band_val"))
       .where(col("_pid") < col("_iid") &&
              Keys.hammingDist(col("_ph"), col("_ih")) <= radius)
-      .select(col("_pid").as("id1"), col("_iid").as("id2"))
+      .select(col("_pid").as("id1"), col("_iid").as("id2"),
+              Keys.hammingDist(col("_ph"), col("_ih")).as("hamming_d"))
       .distinct()
   }
 
@@ -277,7 +278,7 @@ object Candidates {
       .select(col(idCol), col(phashCol))
     val edges = multiIndexHammingPairs(reps, idCol, phashCol,
         cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius)
-      .withColumn("kind", lit("phash_hamming"))
+      .select(col("id1"), col("id2"), lit("phash_hamming").as("kind"))
     val metrics = Seq((0L, 0L)).toDF("salted_buckets", "salt_groups")
     (edges.unionByName(samePhash), metrics)
   }

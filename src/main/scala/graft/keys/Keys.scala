@@ -201,6 +201,34 @@ object Keys {
       out
     }
 
+  /** 64-bit SimHash over the token MULTISET with **md5 token hashes**
+    * (first 8 digest bytes, big-endian): md5 exists in every SQL engine, so
+    * this signature — unlike the engine-internal FNV variant above — is
+    * oracle-reproducible bit-for-bit (DuckDB: `('0x' || substr(md5(tok),
+    * 1, 16))::UBIGINT` + the same sign-counter aggregation). Used by the
+    * simhash-radius pair operator whose contract is pairs within an exact
+    * Hamming distance. */
+  val simhashMd5Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (tokens: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counters = new Array[Int](64)
+      tokens.foreach { t =>
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counters(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+
   /** SimHash (64-bit) over the token multiset: bit b of the result is the
     * sign of Σ_tokens (bit b of xxhash64(token) ? +1 : −1). Pure
     * higher-order-function expression: aggregate over the token array with a

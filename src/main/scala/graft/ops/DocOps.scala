@@ -93,17 +93,20 @@ object DocOps {
       .distinct()
   }
 
-  /** SimHash near-dup pairs — the single-signature alternative to MinHash:
-    * one 64-bit signature per document, **multi-index Hamming blocking**
-    * (wide 16-bit chunks + ≤3-flip probe expansion; recall guaranteed to
-    * simhash distance ≤ `cfg.simhashRadius` by pigeonhole — see
-    * NearDupConfig for why exact narrow bands degenerate to all-pairs),
-    * then exact shingle-Jaccard verification. Identical normalized texts
-    * collapse first and the rep-level pairs expand back to the full
-    * member-level listing. Output (doc1, doc2): pairs within the simhash
-    * blocking radius that pass Jaccard ≥ threshold — equals `jaccardPairs`
-    * ids as long as qualifying pairs sit within the radius (measured max
-    * distance 13 ≤ 15 on the sf0.1 documents table). */
+  /** SimHash near-dup pairs — the classic web-dedup contract (Manku et
+    * al., WWW'07): all pairs whose 64-bit SimHash signatures sit within
+    * Hamming distance `cfg.simhashRadius`. Signatures hash tokens with md5
+    * (`Keys.simhashMd5Udf`) so any SQL oracle recomputes them bit-for-bit.
+    * Blocking is multi-index Hamming (4 × 16-bit chunks + 1-flip probes —
+    * recall GUARANTEED to the full radius by pigeonhole, never
+    * probabilistic); verification is exact `bit_count`. A wide,
+    * Jaccard-complete radius is deliberately NOT the contract: on
+    * vocabulary-correlated corpora ~36% of random pairs sit within
+    * distance 15, so any blocking complete at 15 is inherently quadratic
+    * (see NearDupConfig). Identical normalized texts collapse to a
+    * representative and expand back afterwards (within-group cliques at
+    * distance 0 + cross pairs at the rep distance).
+    * Output (doc1, doc2, hamming_d), doc1 < doc2. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    cfg: NearDupConfig): DataFrame = {
     val base = docs
@@ -115,24 +118,29 @@ object DocOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = withRep.select(col("doc_id").as("id"), col("_rep").as("rep"))
     val reps = withRep.where(col("doc_id") === col("_rep"))
-      .select(col("doc_id"),
-              Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"),
-              Keys.simhashUdf(Keys.tokens(col("_nc"))).as("_sim"))
-      .where(size(col("_sh")) > 0)
+      .select(col("doc_id"), Keys.tokens(col("_nc")).as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("_sim"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = graft.candidates.Candidates.multiIndexHammingPairs(
-      reps.select(col("doc_id"), col("_sim")), "doc_id", "_sim",
+    val repPairs = graft.candidates.Candidates.multiIndexHammingPairs(
+      reps, "doc_id", "_sim",
       cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius)
-    val verified = cand
-      .join(reps.select(col("doc_id").as("id1"), col("_sh").as("_sh1")), "id1")
-      .join(reps.select(col("doc_id").as("id2"), col("_sh").as("_sh2")), "id2")
-    val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
-    val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
-    val repPairs = verified.where(inter * 100 >= union * thresholdPct)
-      .select(col("id1"), col("id2"))
-    graft.candidates.Candidates
-      .expandRepPairs(repPairs, members, reps.select(col("doc_id").as("rep")))
-      .select(col("id1").as("doc1"), col("id2").as("doc2"))
+    // member expansion carrying the distance: cross pairs inherit the rep
+    // distance (identical text ⇒ identical signature); identical-text
+    // groups pair at distance 0
+    val cross = repPairs
+      .join(members.select(col("rep").as("id1"), col("id").as("_m1")), "id1")
+      .join(members.select(col("rep").as("id2"), col("id").as("_m2")), "id2")
+      .select(least(col("_m1"), col("_m2")).as("doc1"),
+              greatest(col("_m1"), col("_m2")).as("doc2"), col("hamming_d"))
+    val grouped = members
+      .join(reps.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+    val cliques = grouped.select(col("rep"), col("id").as("_a"))
+      .join(grouped.select(col("rep"), col("id").as("_b")), "rep")
+      .where(col("_a") < col("_b"))
+      .select(col("_a").as("doc1"), col("_b").as("doc2"),
+              lit(0).as("hamming_d"))
+    cross.unionByName(cliques).distinct()
   }
 
   /** BPE-ish subtoken regex: alnum runs or single non-alnum-non-space marks

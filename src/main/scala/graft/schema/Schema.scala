@@ -114,16 +114,19 @@ final case class NearDupConfig(
     hammingBands: Int = 4,     // 4 × 16-bit chunks
     hammingSubRadius: Int = 1, // flip-enumeration bits per chunk probe
     hammingRadius: Int = 7,    // exact verify: bit_count(xor) ≤ radius
-    // SimHash blocking, same multi-index machinery. Jaccard-qualifying
-    // (≥ 0.8) document pairs measure simhash distance ≤ 13 on the sf0.1
-    // documents table, so the default guarantee is d ≤ 15 =
-    // 4 bands × (3+1) − 1 with 697 masks/chunk — recall 1 on every
-    // qualifying pair with two bits of margin, while 16-bit chunks keep
-    // random collisions at n/65536 per bucket (the old 16 × 4-bit exact
-    // bands collided a RANDOM pair with p ≈ 0.64 — all-pairs, quadratic).
+    // SimHash near-dup radius, same multi-index machinery. The operator's
+    // contract is the classic web-dedup one (Manku et al., WWW'07): pairs
+    // within an exact Hamming distance of the 64-bit signature. Radius 7
+    // (~89% bit agreement) keeps blocking selective — on the sf0.1
+    // documents table random pairs sit at median distance 17 with < 1%
+    // within 7, while wider radii (e.g. a Jaccard-0.8-complete 15) admit
+    // ~36% of ALL pairs, i.e. any recall-complete blocking at 15 is
+    // inherently quadratic on vocabulary-correlated corpora. Defaults
+    // (4 × 16-bit chunks, 1-flip probes) GUARANTEE recall to the full
+    // radius 7 by pigeonhole — the verify stage is exact bit_count.
     simhashBands: Int = 4,     // 4 × 16-bit chunks
-    simhashSubRadius: Int = 3, // ≤3-flip probes per chunk
-    simhashRadius: Int = 15,   // blocking radius (guaranteed, pigeonhole)
+    simhashSubRadius: Int = 1, // ≤1-flip probes per chunk (17 masks)
+    simhashRadius: Int = 7,    // pair contract: bit_count(xor) ≤ radius
     maxBucketSize: Int = 256,  // LSH bucket salting threshold; salted buckets are logged
     salts: Int = 8             // salt fan-out for hot buckets
 ) {

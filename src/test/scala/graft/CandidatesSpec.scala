@@ -80,7 +80,7 @@ class CandidatesSpec extends SparkSpec {
     val df = rows.toDF("id", "h")
     val pairs = Candidates.multiIndexHammingPairs(df, "id", "h",
       bands = 4, subRadius = 1, radius = 7)
-      .as[(String, String)].collect().toSet
+      .select("id1", "id2").as[(String, String)].collect().toSet
     // every (id_0, id_d) pair has distance d ≤ 7 → must be present
     (1 to 7).foreach { d =>
       assert(pairs.contains(("id_0", s"id_$d")), s"missing pair at distance $d")

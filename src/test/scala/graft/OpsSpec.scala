@@ -28,12 +28,27 @@ class OpsSpec extends SparkSpec {
     assert(lsh == oracle, s"missing=${(oracle -- lsh).take(5)} extra=${(lsh -- oracle).take(5)}")
   }
 
-  test("SimHash pairs == brute-force Jaccard pairs on real documents") {
+  test("SimHash pairs == brute-force Hamming-radius pairs on real documents") {
     assume(haveTestdata)
-    val oracle = DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80)
-      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    // in-test oracle: collect the same md5-token signatures, list ALL pairs
+    // within the radius by brute force
+    import graft.keys.Keys
+    val sigs = docs
+      .select(col("doc_id"), graft.keys.Keys.tokens(col("text")).as("_t"))
+      .where(size(col("_t")) > 0)
+      .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("s"))
+      .as[(Long, Long)].collect()
+    val oracle = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= cfg.simhashRadius
+    } yield {
+      val (a, b) = (sigs(i)._1, sigs(j)._1)
+      (math.min(a, b), math.max(a, b), d)
+    }).toSet
     val sim = DocOps.simhashPairs(docs, "doc_id", "text", cfg)
-      .as[(Long, Long)].collect().toSet
+      .as[(Long, Long, Int)].collect().toSet
+    assert(oracle.nonEmpty, "fixture should contain simhash near-dups")
     assert(sim == oracle, s"missing=${(oracle -- sim).take(5)} extra=${(sim -- oracle).take(5)}")
   }
 

@@ -61,4 +61,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       "every candidate source must be a blocked equi-join")
   }
+
+  test("doc near-dup pair listings are blocked equi-joins (no nested loop)") {
+    assume(haveTestdata)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cfg = graft.schema.NearDupConfig(jaccardThreshold = 0.8)
+    Seq(
+      graft.ops.DocOps.simhashPairs(docs, "doc_id", "text", cfg),
+      graft.ops.DocOps.minhashLshPairs(docs, "doc_id", "text", cfg),
+      graft.ops.DocOps.containmentPairs(docs, "doc_id", "text", 3)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        "near-dup blocking must never degenerate to a nested loop")
+    }
+    spark.catalog.clearCache()
+  }
 }
