@@ -14,8 +14,9 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("PROFILE_CLUSTERS", "150").toInt
     val skew = sys.env.getOrElse("PROFILE_SKEW", "40").toInt
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val cores = sys.env.getOrElse("PROFILE_CPUS", "8").toInt
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {

@@ -12,58 +12,104 @@ import graft.schema.DedupConfig
   * runs at two parallelism levels — local[8] and local[32], with
   * spark.sql.shuffle.partitions scaled with cores — on the IDENTICAL
   * deterministic corpus (generation is seed-pure, so both sessions dedup
-  * byte-identical input). Each session warms up on a smaller corpus first
-  * so JIT state doesn't favor whichever level runs second. Efficiency =
-  * (T_N / T_4N) / 4.
+  * byte-identical input). Efficiency = (T_N / T_4N) / 4.
   *
-  * Output: one JSON line, recorded in BASELINE.md.
+  * Fairness rules (each models what a real N-core-per-node cluster gives
+  * an executor, applied identically to both legs):
+  *   - CPU affinity is pinned to exactly `cores` CPUs for the leg's whole
+  *     lifetime (`taskset -a -p`): otherwise the JVM's service threads —
+  *     GC, netty IO, shuffle compression — of the "8-core" leg silently
+  *     borrow the other 24 cores of this 32-core box, cores a real 8-core
+  *     node would not have, inflating the baseline and understating
+  *     scaling.
+  *   - The corpus is written once to parquet on tmpfs and re-SCANNED by
+  *     every timed run (input IO is part of the job, and a parallel scan
+  *     must scale with cores), and the session cache is cleared between
+  *     repeats so a repeat can never reuse a previous run's persisted
+  *     intermediates (the engine persists candidate frames internally;
+  *     identical plan ⇒ silent cache hit ⇒ the repeat would time a
+  *     partially-cached run).
+  *   - Shuffle dirs on tmpfs: on a real cluster every executor ships its
+  *     own local NVMe, so shuffle bandwidth scales with executor count; a
+  *     single-box measurement would otherwise serialize all "executors"
+  *     through ONE ~1 GB/s virtual disk.
+  *   - AQE ON for both legs (production default; the probe-expansion joins
+  *     produce intermediates whose static size estimates are garbage —
+  *     measured: a 10k-cluster warmup exceeded 9 min AQE-off vs 57 s
+  *     AQE-on). Partition coalescing stays off so each leg keeps its
+  *     configured parallelism.
+  *
+  * Output: one JSON line (stdout + SCALE_OUT file), recorded in
+  * BASELINE.md.
   */
 object ScalingBench {
+  private def pinCpus(cores: Int): Unit = {
+    val pid = ProcessHandle.current().pid()
+    val cmd = Array("taskset", "-a", "-p", "-c", s"0-${cores - 1}", pid.toString)
+    val p = new ProcessBuilder(cmd: _*).inheritIO().start()
+    require(p.waitFor() == 0, s"taskset failed for $cores cpus")
+  }
+
   def main(args: Array[String]): Unit = {
     val nClusters = sys.env.getOrElse("SCALE_CLUSTERS", "30000").toInt
     val skew = sys.env.getOrElse("SCALE_SKEW", "2000").toInt
-
     val repeats = sys.env.getOrElse("SCALE_REPEATS", "3").toInt
+    val shmRoot = sys.env.getOrElse("SCALE_LOCAL_DIR", "/dev/shm/spark-graft")
+    val corpusPath = s"$shmRoot/corpus.parquet"
 
-    def runAt(cores: Int): (Long, Double) = {
+    def session(cores: Int): SparkSession = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scale-$cores")
         .config("spark.sql.shuffle.partitions", cores.toString)
-        // AQE re-plans and resubmits every shuffle stage sequentially —
-        // ~0.3 s/stage of driver latency that dwarfs the (byte-wise tiny)
-        // bench shuffles and would idle the extra cores via size-based
-        // coalescing. At 100 TB this overhead amortizes to nothing; at bench
-        // scale it is a pure serial term, so the scaling measurement runs
-        // with static planning (identical config at BOTH parallelism
-        // levels). Skew is handled by the engine's explicit salting.
         .config("spark.sql.adaptive.enabled",
-                sys.env.getOrElse("SCALE_AQE", "false"))
+                sys.env.getOrElse("SCALE_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.local.dir", s"$shmRoot/shuffle")
         .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
         .config("spark.sql.broadcastTimeout", "3600") // large-corpus builds
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      spark
+    }
+
+    // Generate ONCE (unpinned — generation is outside every measurement)
+    // and write to tmpfs parquet; both legs scan the identical files.
+    locally {
+      val spark = session(32)
+      try {
+        Corpus.generate(spark, nClusters, skew).toDF()
+          .write.mode("overwrite").parquet(corpusPath)
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      }
+    }
+
+    def runAt(cores: Int): (Long, Double) = {
+      pinCpus(cores)
+      val spark = session(cores)
       try {
         // JIT/codegen warmup: same plan shape, 1/10 of the data
+        val tw0 = System.nanoTime()
         Dedup.run(Corpus.generate(spark, math.max(nClusters / 10, 50),
           skew / 10).toDF(), DedupConfig()).count()
-        val corpus = Corpus.generate(spark, nClusters, skew).toDF()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val nImages = corpus.count() // materialize BEFORE the timer
+        spark.catalog.clearCache()
+        System.err.println(f"[scale] local[$cores] warmup done in ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+        val nImages = spark.read.parquet(corpusPath).count()
         // min over repeats: co-tenant interference on this box produces
         // multi-× wall-clock outliers; the minimum is the least-contended
         // sample of the same deterministic work
         val secs = (1 to repeats).map { i =>
           val t0 = System.nanoTime()
-          val n = Dedup.run(corpus, DedupConfig()).count()
+          val n = Dedup.run(spark.read.parquet(corpusPath), DedupConfig()).count()
           val sec = (System.nanoTime() - t0) / 1e9
           require(n == nImages, s"actions $n != input $nImages")
           System.err.println(f"[scale] local[$cores] run $i: $sec%.1f s")
-          // let ContextCleaner drop the finished run's shuffle files before
-          // the next repeat — at millions of images the accumulated spill
-          // otherwise exhausts the sandbox disk
+          // drop this run's persisted intermediates + let ContextCleaner
+          // reclaim shuffle files before the next repeat
+          spark.catalog.clearCache()
           System.gc()
           Thread.sleep(3000)
           sec
@@ -82,8 +128,12 @@ object ScalingBench {
     val thr8 = n8 / t8
     val thr32 = n32 / t32
     val eff = (t8 / t32) / 4.0
-    println(
+    val line =
       f"""{"metric":"scaling","n_images":$n8,"local8_sec":$t8%.2f,"local32_sec":$t32%.2f,""" +
-      f""""imgs_per_sec_8":${thr8}%.1f,"imgs_per_sec_32":${thr32}%.1f,"scaling_efficiency":$eff%.3f}""")
+      f""""imgs_per_sec_8":${thr8}%.1f,"imgs_per_sec_32":${thr32}%.1f,"scaling_efficiency":$eff%.3f}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SCALE_OUT", "SCALE_LINE.json")),
+      line + "\n")
   }
 }

@@ -70,15 +70,18 @@ object Candidates {
     * size join broadcasts. */
   def pairsWithinBuckets(keyed: DataFrame, idCol: String, keyCols: Seq[String],
                          cap: Int, kind: String,
-                         pairComplete: Boolean = false): (DataFrame, DataFrame) = {
+                         pairComplete: Boolean = false,
+                         assumeDistinct: Boolean = false): (DataFrame, DataFrame) = {
     val ks = keyCols.map(col)
     // persisted: read once for bucket sizes (inside the broadcast build,
     // which must finish within spark.sql.broadcastTimeout) and once for the
     // salted self-join — without it the exploded frame computes twice and
-    // the broadcast races its timeout against the full upstream plan
-    val rows = keyed
-      .select((keyCols :+ idCol).map(col): _*)
-      .distinct()
+    // the broadcast races its timeout against the full upstream plan.
+    // `assumeDistinct` skips the defensive dedup — a full extra shuffle of
+    // the exploded frame — when the caller's (keyCols, id) rows are unique
+    // by construction (e.g. posexplode of a per-row band array).
+    val base = keyed.select((keyCols :+ idCol).map(col): _*)
+    val rows = (if (assumeDistinct) base else base.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rows.groupBy(ks: _*).agg(count(lit(1)).as("_bsz"))
     val oversized = sizes.where(col("_bsz") > cap)
@@ -178,7 +181,7 @@ object Candidates {
               posexplode(bandUdf(col("_sh"))).as(Seq("band_id", "band_hash")))
     val (cand, metrics) = pairsWithinBuckets(
       exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize,
-      "caption_lsh", pairComplete)
+      "caption_lsh", pairComplete, assumeDistinct = true)
     // verify: join shingles back, exact Jaccard (integer-exact compare)
     val verified = cand
       .join(shingled.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
@@ -293,9 +296,10 @@ object Candidates {
     * Verified with an exact `instr` check — never a cartesian product. */
   def containmentEdges(df: DataFrame, idCol: String, captionCol: String,
                        cfg: NearDupConfig): DataFrame = {
+    // no defensive distinct: idCol is the row identity, so (id, caption)
+    // rows are unique already — a distinct here is a full no-op shuffle
     val norm = df
       .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
-      .distinct()
       .withColumn("_sh", Keys.shingles(col("_nc"), cfg.shingleK))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
