@@ -45,9 +45,22 @@ import graft.schema.DedupConfig
 object ScalingBench {
   private def pinCpus(cores: Int): Unit = {
     val pid = ProcessHandle.current().pid()
-    val cmd = Array("taskset", "-a", "-p", "-c", s"0-${cores - 1}", pid.toString)
-    val p = new ProcessBuilder(cmd: _*).inheritIO().start()
-    require(p.waitFor() == 0, s"taskset failed for $cores cpus")
+    // taskset -a walks /proc/<pid>/task and fails if ANY thread exits while
+    // it iterates — a transient race on a JVM that constantly parks worker
+    // threads. Retry; the mask is idempotent.
+    val ok = (1 to 5).exists { attempt =>
+      val p = new ProcessBuilder(
+          "taskset", "-a", "-p", "-c", s"0-${cores - 1}", pid.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes())
+      val good = p.waitFor() == 0
+      if (!good)
+        System.err.println(s"[scale] taskset attempt $attempt failed:\n" +
+          out.linesIterator.take(3).mkString("\n"))
+      good
+    }
+    require(ok, s"taskset failed for $cores cpus after retries")
+    System.err.println(s"[scale] pinned to $cores cpus")
   }
 
   def main(args: Array[String]): Unit = {
@@ -76,7 +89,11 @@ object ScalingBench {
 
     // Generate ONCE (unpinned — generation is outside every measurement)
     // and write to tmpfs parquet; both legs scan the identical files.
-    locally {
+    // SCALE_SKIP_GEN reuses an existing corpus (it is seed-pure, so a
+    // previous run's files are byte-equivalent input).
+    val skipGen = sys.env.get("SCALE_SKIP_GEN").contains("true") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath))
+    if (!skipGen) {
       val spark = session(32)
       try {
         Corpus.generate(spark, nClusters, skew).toDF()
@@ -122,15 +139,24 @@ object ScalingBench {
       }
     }
 
-    val (n8, t8) = runAt(8)
-    val (n32, t32) = runAt(32)
-    require(n8 == n32)
-    val thr8 = n8 / t8
-    val thr32 = n32 / t32
-    val eff = (t8 / t32) / 4.0
+    // SCALE_LEGS: which parallelism levels to run (a crashed leg can be
+    // re-run alone against the same tmpfs corpus via SCALE_SKIP_GEN).
+    val legs = sys.env.getOrElse("SCALE_LEGS", "8,32")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val results = legs.map(c => c -> runAt(c))
     val line =
-      f"""{"metric":"scaling","n_images":$n8,"local8_sec":$t8%.2f,"local32_sec":$t32%.2f,""" +
-      f""""imgs_per_sec_8":${thr8}%.1f,"imgs_per_sec_32":${thr32}%.1f,"scaling_efficiency":$eff%.3f}"""
+      if (results.size == 2) {
+        val Seq((c1, (n1, t1)), (c2, (n2, t2))) = results
+        require(n1 == n2)
+        val ratio = c2.toDouble / c1
+        val eff = (t1 / t2) / ratio
+        f"""{"metric":"scaling","n_images":$n1,"local${c1}_sec":$t1%.2f,"local${c2}_sec":$t2%.2f,""" +
+        f""""imgs_per_sec_$c1":${n1 / t1}%.1f,"imgs_per_sec_$c2":${n2 / t2}%.1f,"scaling_efficiency":$eff%.3f}"""
+      } else {
+        results.map { case (c, (n, t)) =>
+          f"""{"metric":"scaling_leg","cores":$c,"n_images":$n,"sec":$t%.2f,"imgs_per_sec":${n / t}%.1f}"""
+        }.mkString("\n")
+      }
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SCALE_OUT", "SCALE_LINE.json")),

@@ -74,14 +74,17 @@ object DocOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = norm.select(col("doc_id"), col("_nc"), explode(col("_sh")).as("block"))
     // global shingle document frequency (partial-agg shuffle, skew-free),
-    // then per-doc argmin by (df, shingle) — deterministic block choice
+    // then per-doc argmin by (df, shingle) — deterministic block choice.
+    // min_by, NOT a row_number window: the hash aggregate map-side-combines
+    // each partition down to one row per doc before the shuffle, where a
+    // window must shuffle + sort the full ~(shingles×docs) exploded frame.
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
-    val wMin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("_df"), col("block"))
     val short = exploded.join(freq, "block")
-      .withColumn("_rn", row_number().over(wMin))
-      .where(col("_rn") === 1)
-      .select(col("doc_id").as("short_id"), col("_nc").as("s_nc"), col("block"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(struct(col("block"), col("_nc")),
+                  struct(col("_df"), col("block"))).as("_pick"))
+      .select(col("doc_id").as("short_id"), col("_pick._nc").as("s_nc"),
+              col("_pick.block").as("block"))
     val long = norm.select(col("doc_id").as("long_id"), col("_nc").as("l_nc"),
                            explode(col("_sh")).as("block"))
     short.join(long, "block")

@@ -77,20 +77,51 @@ object EmbeddingOps {
     * 1−(1−p^b)^L); candidates are the union of same-(table,bucket) pairs,
     * verified & ranked by exact quantized dot. Scale path: one explode to
     * nTables rows per vector, shuffle keyed on (table, bucket) only — never
-    * a cross join; hot buckets would be salted exactly like LSH text
-    * buckets (Candidates.pairsWithinBuckets).
+    * a cross join.
+    *
+    * Hot-bucket guard (`cap`, same role as Candidates.pairsWithinBuckets):
+    * a bucket of size s > cap would cost s² comparisons in one task. For
+    * top-1 the bound is per-PROBE candidates, not pair completeness, so the
+    * INDEX side of an oversized bucket is down-sampled to ≈cap members by a
+    * deterministic hash filter (pmod(xxhash64(id), ceil(s/cap)) = 0 — no
+    * sort, no single-task window), and the PROBE side is salted into
+    * ceil(s/cap) splits with the ≤cap index rows replicated to every split:
+    * each task does O(cap·s/splits) work and every probe still sees ≈cap
+    * candidates per table. Buckets ≤ cap are untouched (exact behavior).
+    * Within a hot bucket the exact argmax may be sampled away, but a hot
+    * sign-bucket is by construction a mass of mutually-close vectors and
+    * the union over nTables independent samples keeps the returned
+    * neighbor's similarity near-optimal (asserted in OpsSpec).
     * Output (vec_id, nn_id, dot_q) — approximate top-1 per vector. */
   def annTop1(emb: DataFrame, idCol: String, vecCol: String,
-              dim: Int, nBits: Int = 8, nTables: Int = 8): DataFrame = {
+              dim: Int, nBits: Int = 8, nTables: Int = 8,
+              cap: Int = 256): DataFrame = {
     val q = emb.select(col(idCol).as("vec_id"),
                        quantize(col(vecCol)).as("q"),
                        posexplode(array((0 until nTables).map(t =>
                          hyperplaneBucket(col(vecCol), dim, nBits, t)): _*))
                          .as(Seq("table_id", "bucket")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = q
-      .join(q.select(col("vec_id").as("nn_id"), col("q").as("q2"),
-                     col("table_id"), col("bucket")), Seq("table_id", "bucket"))
+    val bucketKey = Seq("table_id", "bucket")
+    val oversized = q.groupBy(bucketKey.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .where(col("_bsz") > cap)
+      .withColumn("_nsplit", ceil(col("_bsz").cast("double") / cap).cast("int"))
+      .select((bucketKey.map(col) :+ col("_nsplit")): _*)
+    val withSplit = q.join(broadcast(oversized), bucketKey, "left")
+      .withColumn("_g", coalesce(col("_nsplit"), lit(1)))
+    val index = withSplit
+      .where(col("_g") === 1 || pmod(xxhash64(col("vec_id")), col("_g")) === 0)
+      .withColumn("_salt", explode(sequence(lit(0), col("_g") - 1)))
+      .select(col("table_id"), col("bucket"), col("_salt"),
+              col("vec_id").as("nn_id"), col("q").as("q2"))
+    val probe = withSplit
+      .withColumn("_salt",
+        pmod(xxhash64(col("table_id"), col("bucket"), col("vec_id")), col("_g"))
+          .cast("int"))
+      .select(col("table_id"), col("bucket"), col("_salt"), col("vec_id"), col("q"))
+    val pairs = probe
+      .join(index, bucketKey :+ "_salt")
       .where(col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("nn_id"), col("q"), col("q2"))
       .dropDuplicates("vec_id", "nn_id") // a pair sharing k tables scores once

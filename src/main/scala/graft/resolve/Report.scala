@@ -18,13 +18,32 @@ object Report {
     *                (cluster_id, path, size, mtime — timestamp)
     * @return (key, path, size, modified_time) with dense 1..N keys.
     *
-    * Scale note: renumbering is a global rank, but it runs over the
-    * DISTINCT cluster ids (one row per cluster, not per file) and joins
-    * back broadcast-style — the single-partition window never sees the
-    * full file list. */
+    * Scale note: renumbering is a global rank over the DISTINCT cluster
+    * ids, computed WITHOUT a single-partition window: `orderBy` range-
+    * partitions the ids, each partition ranks locally (window partitioned
+    * by spark_partition_id — parallel), and a tiny per-partition row-count
+    * frame (one row per partition) broadcasts the cumulative offsets.
+    * Global key = partition offset + local rank; no task ever holds more
+    * than one partition of cluster ids. */
   def clusterReport(dupRows: DataFrame): DataFrame = {
-    val renumber = dupRows.select("cluster_id").distinct()
-      .withColumn("key", dense_rank().over(Window.orderBy("cluster_id")))
+    // persisted: _pid must come from ONE materialized range-sort — the
+    // offsets branch and the rank branch re-deriving it independently could
+    // sample different range boundaries and disagree on partition ids
+    val sorted = dupRows.select("cluster_id").distinct()
+      .orderBy("cluster_id")
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offsets = sorted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset",
+        coalesce(sum("_n").over(
+          Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("_pid", "_offset")
+    val wLocal = Window.partitionBy("_pid").orderBy("cluster_id")
+    val renumber = sorted
+      .join(broadcast(offsets), "_pid")
+      .withColumn("key", (col("_offset") + row_number().over(wLocal)).cast("int"))
+      .select("cluster_id", "key")
     dupRows.join(broadcast(renumber), "cluster_id")
       .select(col("key"), col("path"), col("size"),
               date_format(col("mtime"), "yyyy-MM-dd HH:mm:ss").as("modified_time"))

@@ -35,18 +35,27 @@ object Resolver {
     * @return actions DataFrame (image_id, role, cluster_id, disposition, target)
     */
   def resolve(members: DataFrame, cfg: ResolveConfig = ResolveConfig()): DataFrame = {
-    val w = Window.partitionBy("cluster_id", "role").orderBy("image_id")
+    // ONE window spec for everything — partition by cluster_id, order by
+    // (role, image_id) — so the whole ranked frame costs a single
+    // exchange + sort. Role counts use the full-partition frame; the
+    // within-role rank falls out of the global position: 'ref' < 'scan'
+    // lexicographically, so scan rows start at position n_ref + 1
+    // (the schema admits exactly these two roles). A per-role window
+    // spec (cluster_id, role) would force a SECOND full shuffle of the
+    // members frame for no information gain.
+    val w = Window.partitionBy("cluster_id").orderBy("role", "image_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // materialize the ranked frame ONCE: every disposition below is a branch
     // over it (4-5 union arms + the refs self-join) — without the persist
     // each arm re-executes the upstream join+window DAG
     val ranked = members
-      .withColumn("rn", row_number().over(w))
       .withColumn("n_ref",
-        sum(when(col("role") === "ref", 1).otherwise(0))
-          .over(Window.partitionBy("cluster_id")))
+        sum(when(col("role") === "ref", 1).otherwise(0)).over(wAll))
       .withColumn("n_scan",
-        sum(when(col("role") === "scan", 1).otherwise(0))
-          .over(Window.partitionBy("cluster_id")))
+        sum(when(col("role") === "scan", 1).otherwise(0)).over(wAll))
+      .withColumn("rn",
+        row_number().over(w) -
+          when(col("role") === "scan", col("n_ref")).otherwise(lit(0)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matched = col("n_ref") > 0 && col("n_scan") > 0
 

@@ -92,6 +92,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.95, s"ANN planted-partner recall $recall < 0.95")
   }
 
+  test("ANN hot bucket is capped+salted: bounded work, near-optimal neighbor") {
+    // 200 near-identical unit vectors — every LSH table maps (almost) all of
+    // them to ONE bucket, far above cap=8 → the salted/sampled path runs.
+    // Every probe must still get a top-1, and since the whole bucket is
+    // mutually near-identical, any sampled candidate is near-optimal.
+    val dim = 64
+    val rng = new scala.util.Random(7L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val base = Array.fill(dim)(rng.nextGaussian())
+    val rows = (0 until 200).map { i =>
+      (i.toLong, unit(base.map(x => x + rng.nextGaussian() * 0.02)).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val ann = EmbeddingOps.annTop1(emb, "vec_id", "embedding", dim,
+      nBits = 8, nTables = 8, cap = 8).cache()
+    assert(ann.count() == 200, "every probe keeps a top-1 under salting")
+    // cos of two perturbed copies ≈ 0.998; sampled top-1 stays near-optimal
+    assert(ann.where(col("dot_q") < 950000L).count() == 0)
+    ann.unpersist()
+  }
+
   test("fingerprint is stable under duplicate-shingle reordering") {
     val df = Seq((1L, "a b c a b c"), (2L, "a b c")).toDF("doc_id", "text")
     val fp = DocOps.fingerprint(df, "doc_id", "text", 3).collect()
