@@ -10,14 +10,22 @@ import graft.schema.NearDupConfig
 
 /** Sub-stage wall-clock profile of the caption-LSH candidate path
   * (dev tool): isolates window collapse, shingling, band UDF, bucket
-  * pairing, and verify so the non-scaling term is attributable. */
+  * pairing, and verify so the non-scaling term is attributable. Session
+  * config and CPU pinning mirror ScalingBench/Profile. */
 object LshProfile {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("PROFILE_CLUSTERS", "150000").toInt
     val skew = sys.env.getOrElse("PROFILE_SKEW", "2000").toInt
     val cores = sys.env.getOrElse("PROFILE_CPUS", "32").toInt
+    val shmRoot = sys.env.getOrElse("SCALE_LOCAL_DIR", "/dev/shm/spark-graft")
+    ScalingBench.pinCpus(cores)
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.local.dir", s"$shmRoot/shuffle")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](label: String)(f: => T): T = {
@@ -27,9 +35,11 @@ object LshProfile {
       r
     }
     val cfg = NearDupConfig()
-    val corpus = time("gen+persist") {
-      val c = Corpus.generate(spark, n, skew).toDF()
-        .select("image_id", "caption") // LSH path touches only these
+    val corpus = time("input materialize") {
+      val c = (sys.env.get("PROFILE_INPUT") match {
+        case Some(path) => spark.read.parquet(path)
+        case None => Corpus.generate(spark, n, skew).toDF()
+      }).select(col("image_id"), col("caption")) // LSH path touches only these
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count(); c
     }
@@ -38,28 +48,30 @@ object LshProfile {
     val withRep = norm.withColumn("_rep", min("image_id").over(repW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("collapse window+persist")(withRep.count())
+    val sbUdf = Keys.shingleLshUdf(cfg.shingleK, cfg.lshBands, cfg.lshRowsPerBand)
     val shingled = withRep.where(col("image_id") === col("_rep"))
-      .select(col("image_id"), Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"))
-      .where(size(col("_sh")) > 0)
+      .select(col("image_id"), sbUdf(col("_nc")).as("_sb"))
+      .where(size(col("_sb._1")) > 0)
+      .select(col("image_id"), col("_sb._1").as("_shh"), col("_sb._2").as("_bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("shingles+persist")(shingled.count())
-    val bandUdf = Keys.minhashBandUdf(cfg.lshBands, cfg.lshRowsPerBand)
+    time("shingles+bands fused UDF+persist")(shingled.count())
     val exploded = shingled
       .select(col("image_id"),
-              posexplode(bandUdf(col("_sh"))).as(Seq("band_id", "band_hash")))
+              posexplode(col("_bands")).as(Seq("band_id", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExp = time("band UDF + explode + persist")(exploded.count())
     println(s"[lshprof] exploded rows = $nExp")
     val (cand, _) = time("pairsWithinBuckets (plan)") {
       graft.candidates.Candidates.pairsWithinBuckets(
-        exploded, "image_id", Seq("band_id", "band_hash"), cfg.maxBucketSize, "t")
+        exploded, "image_id", Seq("band_id", "band_hash"), cfg.maxBucketSize, "t",
+        assumeDistinct = true)
     }
     val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = time("pairsWithinBuckets (run)")(candP.count())
     println(s"[lshprof] candidates = $nCand")
     val verified = candP
-      .join(shingled.select(col("image_id").as("id1"), col("_sh").as("_sh1")), "id1")
-      .join(shingled.select(col("image_id").as("id2"), col("_sh").as("_sh2")), "id2")
+      .join(shingled.select(col("image_id").as("id1"), col("_shh").as("_sh1")), "id1")
+      .join(shingled.select(col("image_id").as("id2"), col("_shh").as("_sh2")), "id2")
     val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
     val nVer = time("verify (exact jaccard)")(
       verified.where(inter * 100 >= union * 80).count())

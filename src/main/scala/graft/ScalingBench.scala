@@ -43,7 +43,7 @@ import graft.schema.DedupConfig
   * BASELINE.md.
   */
 object ScalingBench {
-  private def pinCpus(cores: Int): Unit = {
+  private[graft] def pinCpus(cores: Int): Unit = {
     val pid = ProcessHandle.current().pid()
     // taskset -a walks /proc/<pid>/task and fails if ANY thread exits while
     // it iterates — a transient race on a JVM that constantly parks worker

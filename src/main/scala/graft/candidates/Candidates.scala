@@ -169,23 +169,30 @@ object Candidates {
     val withRep = norm.withColumn("_rep", min(idCol).over(repW))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val members = withRep.select(col(idCol).as("id"), col("_rep").as("rep"))
-    // materialize shingles behind the persist (optimizer barrier), then one
-    // JVM-native UDF pass computes all band hashes per row
+    // ONE fused JVM pass per rep computes the distinct shingle hashes AND
+    // the LSH band hashes (Keys.shingleLshUdf): shingling via the
+    // interpreted higher-order-function expression was measured at
+    // ~1.3 ms/doc — the single largest LSH cost — and shipping hashed
+    // shingles (~8 B each) instead of k-gram strings cuts the verify-join
+    // payload ~4×. Exact Jaccard over the hashed sets equals string-set
+    // Jaccard unless two distinct shingles of one compared pair collide in
+    // 64 bits (~1e-19 per pair).
+    val sbUdf = Keys.shingleLshUdf(cfg.shingleK, cfg.lshBands, cfg.lshRowsPerBand)
     val shingled = withRep.where(col(idCol) === col("_rep"))
-      .select(col(idCol), Keys.shingles(col("_nc"), cfg.shingleK).as("_sh"))
-      .where(size(col("_sh")) > 0)
+      .select(col(idCol), sbUdf(col("_nc")).as("_sb"))
+      .where(size(col("_sb._1")) > 0)
+      .select(col(idCol), col("_sb._1").as("_shh"), col("_sb._2").as("_bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandUdf = Keys.minhashBandUdf(cfg.lshBands, cfg.lshRowsPerBand)
     val exploded = shingled
       .select(col(idCol),
-              posexplode(bandUdf(col("_sh"))).as(Seq("band_id", "band_hash")))
+              posexplode(col("_bands")).as(Seq("band_id", "band_hash")))
     val (cand, metrics) = pairsWithinBuckets(
       exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize,
       "caption_lsh", pairComplete, assumeDistinct = true)
-    // verify: join shingles back, exact Jaccard (integer-exact compare)
+    // verify: join hashed shingle sets back, exact Jaccard (integer-exact)
     val verified = cand
-      .join(shingled.select(col(idCol).as("id1"), col("_sh").as("_sh1")), "id1")
-      .join(shingled.select(col(idCol).as("id2"), col("_sh").as("_sh2")), "id2")
+      .join(shingled.select(col(idCol).as("id1"), col("_shh").as("_sh1")), "id1")
+      .join(shingled.select(col(idCol).as("id2"), col("_shh").as("_sh2")), "id2")
     val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
     val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
     val repPairs = verified
@@ -297,10 +304,13 @@ object Candidates {
   def containmentEdges(df: DataFrame, idCol: String, captionCol: String,
                        cfg: NearDupConfig): DataFrame = {
     // no defensive distinct: idCol is the row identity, so (id, caption)
-    // rows are unique already — a distinct here is a full no-op shuffle
+    // rows are unique already — a distinct here is a full no-op shuffle.
+    // Shingles are JVM-hashed longs (Keys.shingleHashUdf): block-key joins
+    // and df counts are identity-equivalent on the 8-byte hash, and the
+    // substring verify below uses the strings, never the shingles.
     val norm = df
       .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
-      .withColumn("_sh", Keys.shingles(col("_nc"), cfg.shingleK))
+      .withColumn("_sh", Keys.shingleHashUdf(cfg.shingleK)(col("_nc")))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = norm.select(col(idCol), col("_nc"), explode(col("_sh")).as("block"))
@@ -312,16 +322,24 @@ object Candidates {
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
     val short = exploded.join(freq, "block")
       .groupBy(col(idCol))
-      .agg(min_by(struct(col("block"), col("_nc")),
+      .agg(min_by(struct(col("block"), length(col("_nc")).as("_len")),
                   struct(col("_df"), col("block"))).as("_pick"))
-      .select(col(idCol).as("sid"), col("_pick._nc").as("s_nc"),
+      .select(col(idCol).as("sid"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))
-    val long = norm.select(col(idCol).as("lid"), col("_nc").as("l_nc"),
+    // the block join ships only (id, caption-length, block) — the caption
+    // STRINGS rejoin below for candidate pairs only, so the ~shingles×docs
+    // exploded shuffle carries ~45 B/row instead of the full text payload
+    val long = norm.select(col(idCol).as("lid"), length(col("_nc")).as("_llen"),
                            explode(col("_sh")).as("block"))
+    // (sid, block) is unique (one chosen block/doc) and (lid, block) is
+    // unique (array_distinct shingles), so the join emits each candidate
+    // pair at most once — no pre-verify dedup needed
     short.join(long, "block")
-      .where(col("sid") =!= col("lid") &&
-             length(col("l_nc")) > length(col("s_nc")) &&
-             instr(col("l_nc"), col("s_nc")) > 0)
+      .where(col("sid") =!= col("lid") && col("_llen") > col("_slen"))
+      .select("sid", "lid")
+      .join(norm.select(col(idCol).as("sid"), col("_nc").as("s_nc")), "sid")
+      .join(norm.select(col(idCol).as("lid"), col("_nc").as("l_nc")), "lid")
+      .where(instr(col("l_nc"), col("s_nc")) > 0)
       .select(least(col("sid"), col("lid")).as("id1"),
               greatest(col("sid"), col("lid")).as("id2"),
               lit("containment").as("kind"))

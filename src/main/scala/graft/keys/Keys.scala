@@ -171,6 +171,119 @@ object Keys {
       out
     }
 
+  // Shared FNV-1a(+avalanche) double hash of one word k-gram, streamed
+  // char-by-char over the window incl. single-space separators — byte-for-
+  // byte the hash minhashBandUdf computes over the materialized k-gram
+  // string, without ever building it.
+  @inline private def kgramHash(toks: Array[String], start: Int, k: Int): (Long, Long) = {
+    var h1 = 0xcbf29ce484222325L
+    var h2 = 0x84222325cbf29ce4L
+    var j = 0
+    while (j < k) {
+      val t = toks(start + j)
+      var i = 0
+      val n = t.length
+      while (i < n) {
+        val c = t.charAt(i)
+        h1 = (h1 ^ (c & 0xff)) * 0x100000001b3L
+        h1 = (h1 ^ (c >>> 8)) * 0x100000001b3L
+        h2 = (h2 ^ (c >>> 8)) * 0x100000001b3L
+        h2 = (h2 ^ (c & 0xff)) * 0x100000001b3L
+        i += 1
+      }
+      if (j < k - 1) { // the ' ' joiner of the k-gram string
+        h1 = (h1 ^ ' ') * 0x100000001b3L
+        h1 = (h1 ^ 0) * 0x100000001b3L
+        h2 = (h2 ^ 0) * 0x100000001b3L
+        h2 = (h2 ^ ' ') * 0x100000001b3L
+      }
+      j += 1
+    }
+    h1 ^= h1 >>> 33; h1 *= 0xff51afd7ed558ccdL; h1 ^= h1 >>> 33
+    h2 ^= h2 >>> 29; h2 *= 0xc4ceb9fe1a85ec53L; h2 ^= h2 >>> 32
+    (h1, h2)
+  }
+
+  @inline private def splitTokens(nc: String): Array[String] =
+    if (nc == null || nc.isEmpty) Array.empty
+    else nc.split(' ').filter(_.nonEmpty)
+
+  /** Fused normalized-text → (distinct shingle hashes, LSH band hashes) in
+    * ONE JVM pass — the hot-path replacement for `shingles` (an interpreted
+    * higher-order-function expression measured at ~1.3 ms/doc, the single
+    * largest LSH cost) feeding `minhashBandUdf`. Returns a struct of
+    *   `_shh`  array<long>: h1 of each DISTINCT word k-gram (the verify
+    *           stage intersects these — set-identical to distinct k-gram
+    *           strings modulo 64-bit collisions),
+    *   `bands` array<long>: LSH band hashes from the (h1, h2) double-hash
+    *           MinHash, same construction as `minhashBandUdf`.
+    * Texts with < k tokens return empty arrays (no signature — same
+    * no-key semantics as before). */
+  def shingleLshUdf(k: Int, bands: Int, rowsPerBand: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (nc: String) =>
+      val toks = splitTokens(nc)
+      val m = toks.length - k + 1
+      val lanes = bands * rowsPerBand
+      if (m <= 0) (Array.empty[Long], Array.empty[Long])
+      else {
+        val sig = Array.fill(lanes)(Long.MaxValue)
+        val seen = new java.util.HashSet[java.lang.Long](m * 2)
+        val shh = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < m) {
+          val (h1, h2) = kgramHash(toks, i, k)
+          if (seen.add(h1)) {
+            shh += h1
+            var lane = 0
+            while (lane < lanes) {
+              val v = h1 ^ java.lang.Long.rotateLeft(h2, lane)
+              if (v < sig(lane)) sig(lane) = v
+              lane += 1
+            }
+          }
+          i += 1
+        }
+        val out = new Array[Long](bands)
+        var b = 0
+        while (b < bands) {
+          var h = 0xcbf29ce484222325L ^ b.toLong
+          var r = 0
+          while (r < rowsPerBand) {
+            val v = sig(b * rowsPerBand + r)
+            var q = 0
+            while (q < 8) { h = (h ^ ((v >>> (q * 8)) & 0xff)) * 0x100000001b3L; q += 1 }
+            r += 1
+          }
+          out(b) = h
+          b += 1
+        }
+        (shh.result(), out)
+      }
+    }
+
+  /** Distinct word-k-gram hashes of a normalized text (h1 of `kgramHash`) —
+    * the JVM-native replacement for `shingles` where only a blocking/set
+    * identity is needed (containment block keys): joins and document-
+    * frequency counts work identically on the 8-byte hash, and the
+    * substring verify never needs the k-gram strings. */
+  def shingleHashUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (nc: String) =>
+      val toks = splitTokens(nc)
+      val m = toks.length - k + 1
+      if (m <= 0) Array.empty[Long]
+      else {
+        val seen = new java.util.HashSet[java.lang.Long](m * 2)
+        val shh = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < m) {
+          val h1 = kgramHash(toks, i, k)._1
+          if (seen.add(h1)) shh += h1
+          i += 1
+        }
+        shh.result()
+      }
+    }
+
   /** JVM-native SimHash over a token array — hot-path twin of `simhash`
     * below (HOF expressions evaluate interpreted; see minhashBandUdf).
     * Hash family differs from the expression form (FNV-1a + avalanche vs

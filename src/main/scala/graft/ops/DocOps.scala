@@ -67,9 +67,11 @@ object DocOps {
     * bucket sizes — a naive first-shingle key degenerates quadratically
     * when many texts share a prefix. Output (short_id, long_id). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    // shingles are JVM-hashed longs (see Candidates.containmentEdges —
+    // block identity only; the substring verify uses the strings)
     val norm = docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
-      .withColumn("_sh", Keys.shingles(col("_nc"), k))
+      .withColumn("_sh", Keys.shingleHashUdf(k)(col("_nc")))
       .where(size(col("_sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = norm.select(col("doc_id"), col("_nc"), explode(col("_sh")).as("block"))
@@ -81,16 +83,24 @@ object DocOps {
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
     val short = exploded.join(freq, "block")
       .groupBy(col("doc_id"))
-      .agg(min_by(struct(col("block"), col("_nc")),
+      .agg(min_by(struct(col("block"), length(col("_nc")).as("_len")),
                   struct(col("_df"), col("block"))).as("_pick"))
-      .select(col("doc_id").as("short_id"), col("_pick._nc").as("s_nc"),
+      .select(col("doc_id").as("short_id"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))
-    val long = norm.select(col("doc_id").as("long_id"), col("_nc").as("l_nc"),
+    // the block join ships only (id, caption-length, block); the caption
+    // STRINGS rejoin below for candidate pairs only — the ~shingles×docs
+    // exploded shuffle carries ~45 B/row instead of the full text payload.
+    // (short_id, block) and (long_id, block) are both unique, so the join
+    // emits each candidate pair at most once.
+    val long = norm.select(col("doc_id").as("long_id"),
+                           length(col("_nc")).as("_llen"),
                            explode(col("_sh")).as("block"))
     short.join(long, "block")
-      .where(col("short_id") =!= col("long_id") &&
-             length(col("l_nc")) > length(col("s_nc")) &&
-             instr(concat(lit(" "), col("l_nc"), lit(" ")),
+      .where(col("short_id") =!= col("long_id") && col("_llen") > col("_slen"))
+      .select("short_id", "long_id")
+      .join(norm.select(col("doc_id").as("short_id"), col("_nc").as("s_nc")), "short_id")
+      .join(norm.select(col("doc_id").as("long_id"), col("_nc").as("l_nc")), "long_id")
+      .where(instr(concat(lit(" "), col("l_nc"), lit(" ")),
                    concat(lit(" "), col("s_nc"), lit(" "))) > 0)
       .select("short_id", "long_id")
       .distinct()
