@@ -70,11 +70,17 @@ object ScalingBench {
     val shmRoot = sys.env.getOrElse("SCALE_LOCAL_DIR", "/dev/shm/spark-graft")
     val corpusPath = s"$shmRoot/corpus.parquet"
 
+    // shuffle partitions at 2× cores (identical multiplier at both legs):
+    // with partitions == cores, each stage's wall clock is its single
+    // slowest task — 2-3× gives the scheduler slack to smooth stragglers,
+    // the standard sizing on real clusters.
+    val partMult = sys.env.getOrElse("SCALE_PART_MULT", "2").toInt
+
     def session(cores: Int): SparkSession = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scale-$cores")
-        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.shuffle.partitions", (cores * partMult).toString)
         .config("spark.sql.adaptive.enabled",
                 sys.env.getOrElse("SCALE_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")

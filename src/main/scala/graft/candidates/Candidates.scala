@@ -120,16 +120,19 @@ object Candidates {
         val within = a.join(b, saltKeys)
           .where(col("id1") < col("id2"))
           .select(col("id1"), col("id2"))
-        // stitch: chain consecutive per-salt minimum ids of each oversized
-        // bucket (≤ nsalt rows per bucket — the window is trivially small)
+        // stitch: STAR the per-salt minimum ids of each oversized bucket
+        // onto the bucket minimum (≤ nsalt rows per bucket — the window is
+        // trivially small). A star, not a chain: a chain of g salt groups
+        // adds graph diameter g, costing the downstream connected-
+        // components loop extra O(log g) iterations — each a full
+        // shuffle-round barrier; a star keeps the bucket's diameter at 2.
         val reps = salted.where(col("_nsalt").isNotNull)
           .groupBy((saltKeys).map(col): _*).agg(min(idCol).as("_rep"))
-        val wS = Window.partitionBy(ks: _*).orderBy(col("_salt"))
+        val wB = Window.partitionBy(ks: _*)
         val stitch = reps
-          .withColumn("_prev", lag(col("_rep"), 1).over(wS))
-          .where(col("_prev").isNotNull)
-          .select(least(col("_prev"), col("_rep")).as("id1"),
-                  greatest(col("_prev"), col("_rep")).as("id2"))
+          .withColumn("_bmin", min(col("_rep")).over(wB))
+          .where(col("_rep") =!= col("_bmin"))
+          .select(col("_bmin").as("id1"), col("_rep").as("id2"))
         within.unionByName(stitch)
       }
     val pairs = intra
