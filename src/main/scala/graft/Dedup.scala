@@ -109,25 +109,43 @@ object Dedup {
                       cacheRoot: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import graft.state.{HashCache, TableIO}
-    val hashCacheRoot = cacheRoot.getOrElse(s"$stateRoot/hash_cache")
+    // cache namespaced by hash kind: a partial-prefix hash and a full-content
+    // hash of the same image are DIFFERENT match keys — one shared table
+    // would silently serve one as the other across runs with different
+    // cfg.key.fullHash (reference keeps separate cache files per kind,
+    // hash_manager.py:45-46).
+    val hashKind = if (cfg.key.fullHash) "full" else "partial"
+    val hashCacheRoot = s"${cacheRoot.getOrElse(s"$stateRoot/hash_cache")}/$hashKind"
     val filtered = filterRows(df, cfg.filter)
+    var scratch = List.empty[DataFrame] // persisted frames released post-commit
     val edges = TableIO.stageCheckpoint(spark, s"$stateRoot/edges", "edges") {
       // Cache-first hashing (reference X7 adaptive strategy +
       // hash_manager.py:112-158): re-runs hash ONLY cache misses — at
       // 100 TB this is the difference between re-reading every byte and a
       // cheap id-keyed join against last run's hash table.
       val ids = filtered.select("image_id")
-      val (hits, missIds) = HashCache.lookup(spark, hashCacheRoot, ids)
+      val (hits0, missIds) = HashCache.lookup(spark, hashCacheRoot, ids)
+      val hits = hits0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persisted BEFORE the count: `fresh` is read twice (metrics count +
+      // cache merge) and feeds the downstream key join — without the persist
+      // every consumer re-reads and re-sha2s the missed bytes, doubling the
+      // dominant IO of a cold run.
       val fresh = filtered.join(missIds, Seq("image_id"), "left_semi")
         .select(col("image_id"),
                 Keys.contentHash(col("bytes"), cfg.key.fullHash).as("hash_value"),
                 current_timestamp().as("updated_at"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scratch = hits :: fresh :: scratch
       val nMisses = fresh.count()
       val nHits = hits.count()
-      val allHashes =
-        if (nMisses == 0 && nHits > 0) hits.select("image_id", "hash_value")
-        else HashCache.merge(spark, hashCacheRoot, fresh)
-          .select("image_id", "hash_value")
+      if (nMisses > 0) HashCache.merge(spark, hashCacheRoot, fresh)
+      // the run's working hash table is hits ∪ fresh DIRECTLY — never a
+      // re-read of the merged cache: the merge's TTL pass prunes rows
+      // relative to the fresh timestamps, and deriving the working set from
+      // the post-prune table would drop any row whose only entry aged out
+      // in this very merge (the companion guard to the TTL-aware lookup).
+      val allHashes = hits.select("image_id", "hash_value")
+        .unionByName(fresh.select("image_id", "hash_value"))
       import spark.implicits._
       TableIO.commit(
         Seq(("cache_hits", nHits), ("hashed_rows", nMisses))
@@ -138,6 +156,7 @@ object Dedup {
       TableIO.commit(m, s"$stateRoot/metrics_candidates", "candidate_metrics")
       e
     }
+    scratch.foreach(_.unpersist())
     val cc = TableIO.stageCheckpoint(spark, s"$stateRoot/clusters", "clusters") {
       ConnectedComponents.run(edges)
     }

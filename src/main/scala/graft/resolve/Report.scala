@@ -44,7 +44,13 @@ object Report {
       .join(broadcast(offsets), "_pid")
       .withColumn("key", (col("_offset") + row_number().over(wLocal)).cast("int"))
       .select("cluster_id", "key")
-    dupRows.join(broadcast(renumber), "cluster_id")
+    // NO broadcast hint here: `renumber` is one row per distinct cluster —
+    // at 10⁸-10⁹ clusters a forced broadcast (which ignores
+    // autoBroadcastJoinThreshold) OOMs the driver. AQE broadcasts it when
+    // it is actually small; otherwise this is a plain shuffle equi-join.
+    // (The `offsets` broadcast above is one row per range PARTITION —
+    // genuinely tiny at any scale — and keeps its hint.)
+    dupRows.join(renumber, "cluster_id")
       .select(col("key"), col("path"), col("size"),
               date_format(col("mtime"), "yyyy-MM-dd HH:mm:ss").as("modified_time"))
   }

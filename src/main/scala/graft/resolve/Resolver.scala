@@ -45,9 +45,33 @@ object Resolver {
     // members frame for no information gain.
     val w = Window.partitionBy("cluster_id").orderBy("role", "image_id")
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // materialize the ranked frame ONCE: every disposition below is a branch
-    // over it (4-5 union arms + the refs self-join) — without the persist
-    // each arm re-executes the upstream join+window DAG
+
+    if (!cfg.copyToAll) {
+      // Default mode is a SINGLE window pass — no persist, no self-join, no
+      // union arms: the move target (ref rank-1 = minimum ref id, since rn
+      // orders refs by image_id) is itself a full-frame aggregate of the
+      // same window, so every disposition is a case-branch over one ranked
+      // projection. One exchange + sort total; at 10⁹ members this is the
+      // difference between one shuffle and three shuffles + a barrier.
+      val refTarget = min(when(col("role") === "ref", col("image_id"))).over(wAll)
+      members
+        .withColumn("n_ref",
+          sum(when(col("role") === "ref", 1).otherwise(0)).over(wAll))
+        .withColumn("rn",
+          row_number().over(w) -
+            when(col("role") === "scan", col("n_ref")).otherwise(lit(0)))
+        .withColumn("_ref1", refTarget)
+        .select(col("image_id"), col("role"), col("cluster_id"),
+          when(col("role") === "ref", lit("keep"))
+            .when(col("n_ref") === 0, lit("none"))     // scan, cluster has no ref
+            .when(col("rn") === 1, lit("move"))        // scan rank-1 → ref rank-1
+            .otherwise(lit("scan_dup")).as("disposition"),
+          when(col("role") === "scan" && col("n_ref") > 0 && col("rn") === 1,
+               col("_ref1").cast("string"))
+            .otherwise(lit(null).cast("string")).as("target"))
+    } else {
+    // copy_to_all needs rank-equality joins against the ref list — keep the
+    // materialized ranked frame + branch arms for this mode only.
     val ranked = members
       .withColumn("n_ref",
         sum(when(col("role") === "ref", 1).otherwise(0)).over(wAll))
@@ -73,18 +97,6 @@ object Resolver {
               lit("none").as("disposition"), lit(null).cast("string").as("target"))
 
     val scanMatched = ranked.where(col("role") === "scan" && matched)
-
-    if (!cfg.copyToAll) {
-      // mover = scan rank-1 → ref rank-1; the rest are scan_dups
-      val mover = scanMatched.where(col("rn") === 1)
-        .join(refs.where(col("ref_rn") === 1), "cluster_id")
-        .select(col("image_id"), col("role"), col("cluster_id"),
-                lit("move").as("disposition"), col("ref_id").as("target"))
-      val dups = scanMatched.where(col("rn") > 1)
-        .select(col("image_id"), col("role"), col("cluster_id"),
-                lit("scan_dup").as("disposition"), lit(null).cast("string").as("target"))
-      refActions.unionByName(unmatchedScan).unionByName(mover).unionByName(dups)
-    } else {
       // copy_to_all (duplicates_finder.py:203-212):
       //   num_copy = max(0, n_ref - n_scan) — scan rank-1 copies to ref
       //   ranks 1..num_copy, then scan ranks zip-move onto ref ranks

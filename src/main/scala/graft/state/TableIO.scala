@@ -109,14 +109,24 @@ object HashCache {
   }
 
   /** Hashes for `ids` (image_id) resolved cache-first: (cached hits,
-    * miss ids). Caller computes misses and `merge`s them back. */
+    * miss ids). Caller computes misses and `merge`s them back.
+    *
+    * TTL is enforced HERE, not only at merge time: an entry older than the
+    * TTL (relative to now — the clock the caller's fresh rows will carry)
+    * counts as a miss and is re-hashed, exactly like the reference re-hashes
+    * expired entries at read time (hash_manager.py:149-157). Serving an
+    * expired row as a hit while `merge` later deletes it would silently drop
+    * the row from the merged hash table — and from every downstream
+    * edge/cluster/action. */
   def lookup(spark: SparkSession, root: String, ids: DataFrame): (DataFrame, DataFrame) = {
     val cache = TableIO.read(spark, root)
     cache match {
       case None => (ids.limit(0).withColumn("hash_value", lit("")), ids)
       case Some(c) =>
-        val hits = ids.join(c.select("image_id", "hash_value"), Seq("image_id"), "inner")
-        val misses = ids.join(c.select("image_id"), Seq("image_id"), "left_anti")
+        val live = c.where(
+          col("updated_at") >= current_timestamp() - expr(s"INTERVAL $TtlDays DAYS"))
+        val hits = ids.join(live.select("image_id", "hash_value"), Seq("image_id"), "inner")
+        val misses = ids.join(live.select("image_id"), Seq("image_id"), "left_anti")
         (hits, misses)
     }
   }

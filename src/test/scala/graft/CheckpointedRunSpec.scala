@@ -71,4 +71,53 @@ class CheckpointedRunSpec extends SparkSpec {
     assert(b == a, "cache-first hashing must not change results")
     corpus.unpersist()
   }
+
+  test("TTL-expired cache entry is re-hashed — and its row never dropped") {
+    // regression for the silent-row-drop bug: lookup served expired entries
+    // as hits while merge pruned them, so the row vanished from the working
+    // hash table and from every downstream edge/cluster/action
+    val cacheRoot = Files.createTempDirectory("graft_hcache_ttl").toString + "/hash_cache"
+    val corpus = Corpus.generate(spark, nClusters = 20, skewCopies = 0).toDF().cache()
+    val n = corpus.count()
+    val cfg = DedupConfig()
+    val rootA = Files.createTempDirectory("graft_ckpt_ttl_a").toString
+    Dedup.runCheckpointed(corpus, cfg, rootA, Some(cacheRoot)).count()
+    // age ONE committed entry past the 28-day TTL (cache is namespaced by
+    // hash kind; the default config hashes the 2 MiB prefix → "partial")
+    val kindRoot = s"$cacheRoot/partial"
+    val cache = TableIO.read(spark, kindRoot).get
+    val victim = cache.select("image_id").orderBy("image_id").first().getString(0)
+    val aged = cache.withColumn("updated_at",
+      when(col("image_id") === victim,
+           col("updated_at") - expr("INTERVAL 60 DAYS"))
+        .otherwise(col("updated_at")))
+    TableIO.commit(aged, kindRoot, "hash_cache")
+    val rootB = Files.createTempDirectory("graft_ckpt_ttl_b").toString
+    val actions = Dedup.runCheckpointed(corpus, cfg, rootB, Some(cacheRoot))
+    assert(actions.count() == n,
+      "a row whose cache entry expired must be re-hashed, never dropped")
+    assert(actions.where(col("image_id") === victim).count() == 1)
+    val mB = TableIO.read(spark, s"$rootB/metrics_hash").get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mB("hashed_rows") == 1, "exactly the expired entry is re-hashed")
+    assert(mB("cache_hits") == n - 1)
+    corpus.unpersist()
+  }
+
+  test("partial and full hash kinds never share cache entries") {
+    val cacheRoot = Files.createTempDirectory("graft_hcache_kind").toString + "/hash_cache"
+    val corpus = Corpus.generate(spark, nClusters = 10, skewCopies = 0).toDF().cache()
+    val n = corpus.count()
+    val rootA = Files.createTempDirectory("graft_ckpt_kind_a").toString
+    Dedup.runCheckpointed(corpus, DedupConfig(), rootA, Some(cacheRoot)).count()
+    // switching to --full_hash must NOT reuse the partial-prefix hashes
+    val rootB = Files.createTempDirectory("graft_ckpt_kind_b").toString
+    val full = DedupConfig(key = graft.schema.KeyConfig(fullHash = true))
+    Dedup.runCheckpointed(corpus, full, rootB, Some(cacheRoot)).count()
+    val mB = TableIO.read(spark, s"$rootB/metrics_hash").get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mB("hashed_rows") == n, "full-hash run re-hashes everything")
+    assert(mB("cache_hits") == 0, "no cross-kind cache hits")
+    corpus.unpersist()
+  }
 }

@@ -60,12 +60,33 @@ class StateSpec extends SparkSpec {
 
   test("HashCache.lookup: hits from cache, misses to compute (X7 anti-join)") {
     val root = tmpDir()
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis()) // within TTL
     HashCache.merge(spark, root,
       Seq(("img1", "h1", t0)).toDF("image_id", "hash_value", "updated_at"))
     val ids = Seq("img1", "imgNew").toDF("image_id")
     val (hits, misses) = HashCache.lookup(spark, root, ids)
     assert(hits.select("image_id").as[String].collect().toSeq == Seq("img1"))
     assert(misses.select("image_id").as[String].collect().toSeq == Seq("imgNew"))
+  }
+
+  test("HashCache.lookup: TTL-expired entries are MISSES, not hits") {
+    // the reference re-hashes expired entries at read time
+    // (hash_manager.py:149-157); serving them as hits while merge later
+    // prunes them would drop the row from the merged table entirely
+    val root = tmpDir()
+    val now = System.currentTimeMillis()
+    val fresh = new java.sql.Timestamp(now)
+    val expired = new java.sql.Timestamp(now - 60L * 24 * 3600 * 1000) // 60d old
+    HashCache.merge(spark, root,
+      Seq(("imgFresh", "hF", fresh)).toDF("image_id", "hash_value", "updated_at"))
+    // plant the expired row directly (merge itself would prune it)
+    val withOld = TableIO.read(spark, root).get.unionByName(
+      Seq(("imgOld", "hO", expired)).toDF("image_id", "hash_value", "updated_at"))
+    TableIO.commit(withOld, root, "hash_cache")
+    val ids = Seq("imgFresh", "imgOld").toDF("image_id")
+    val (hits, misses) = HashCache.lookup(spark, root, ids)
+    assert(hits.select("image_id").as[String].collect().toSeq == Seq("imgFresh"))
+    assert(misses.select("image_id").as[String].collect().toSeq == Seq("imgOld"),
+      "an entry older than the TTL must be re-hashed, not served stale")
   }
 }
