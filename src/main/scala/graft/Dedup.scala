@@ -33,38 +33,63 @@ object Dedup {
     df.where(cond)
   }
 
+  // Candidate sources run as CONCURRENT jobs on the shared session: a small
+  // daemon pool submits them; Spark's scheduler interleaves their stages.
+  private lazy val sourceEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+        val t = new Thread(r, "graft-candidate-source"); t.setDaemon(true); t
+      }))
+
   /** Candidate edges from every enabled source, unioned.
     * `hashCol`: name of a precomputed content-hash column (cache-first
     * path); when absent the hash is computed inline from `bytes`.
-    * Returns (edges(id1,id2,kind), metrics rows). */
+    * Returns (edges(id1,id2,kind), metrics rows).
+    *
+    * The four sources read disjoint column sets and are independent
+    * Spark jobs (each operator seals its output eagerly — CacheScope), so
+    * they are submitted CONCURRENTLY and the union consumes each as it
+    * lands. Serially, total wall-clock is the SUM of every source's
+    * barriers and fixed per-stage costs — the dominant term of the
+    * measured flat scaling residue (BASELINE.md round 2); concurrently it
+    * is their MAX, and the scheduler backfills idle cores of one source's
+    * barrier with another source's tasks. */
   def candidateEdges(df: DataFrame, cfg: DedupConfig,
                      hashCol: Option[String] = None): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = sourceEc
     val keyed = df.withColumn("key", hashCol match {
       case Some(h) =>
         Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime"))
       case None =>
         Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
     })
-    var edges = Candidates.exactEdges(keyed, "image_id", "key")
-    val spark = df.sparkSession
-    import spark.implicits._
-    var metrics = Seq.empty[(String, Long, Long)].toDF("source", "salted_buckets", "salt_groups")
-    if (cfg.enableCaptionLsh) {
-      val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
-      edges = edges.unionByName(e)
-      metrics = metrics.unionByName(
-        m.select(lit("caption_lsh").as("source"), col("salted_buckets"), col("salt_groups")))
-    }
-    if (cfg.enablePhashHamming) {
-      val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
-      edges = edges.unionByName(e)
-      metrics = metrics.unionByName(
-        m.select(lit("phash_hamming").as("source"), col("salted_buckets"), col("salt_groups")))
-    }
-    if (cfg.enableContainment) {
-      edges = edges.unionByName(
-        Candidates.containmentEdges(df, "image_id", "caption", cfg.near))
-    }
+    def srcMetrics(name: String, m: DataFrame): DataFrame =
+      m.select(lit(name).as("source"), col("salted_buckets"), col("salt_groups"))
+    val tasks: Seq[Future[(DataFrame, Option[DataFrame])]] = Seq(
+      Future {
+        (Candidates.exactEdges(keyed, "image_id", "key").localCheckpoint(true), None)
+      }) ++
+      (if (cfg.enableCaptionLsh) Seq(Future {
+        val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
+        (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
+      }) else Nil) ++
+      (if (cfg.enablePhashHamming) Seq(Future {
+        val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
+        (e.localCheckpoint(true), Some(srcMetrics("phash_hamming", m)))
+      }) else Nil) ++
+      (if (cfg.enableContainment) Seq(Future {
+        // containmentEdges is already sealed (eager) by its CacheScope
+        (Candidates.containmentEdges(df, "image_id", "caption", cfg.near), None)
+      }) else Nil)
+    val results = Await.result(Future.sequence(tasks), Duration.Inf)
+    val edges = results.map(_._1).reduce(_ unionByName _)
+    val metrics = results.flatMap(_._2).foldLeft(
+      Seq.empty[(String, Long, Long)].toDF("source", "salted_buckets", "salt_groups"))(
+      _ unionByName _)
     (edges.select("id1", "id2").distinct(), metrics)
   }
 

@@ -243,12 +243,16 @@ object SparkEntry {
         .orderBy("id1", "id2")),
 
     // ANN top-1 via random-hyperplane LSH buckets — the 100 TB similarity-
-    // search path (shuffle bounded by bucket id). Approximate by design →
-    // rows-only driver check; planted-neighbor recall ≥ 0.95 is asserted
-    // in OpsSpec under sbt test.
+    // search path (shuffle bounded by bucket id). The planes are md5-derived
+    // and the bucket dots integer-quantized, so the WHOLE approximate
+    // algorithm is deterministic and SQL-replayable: the DuckDB oracle
+    // recomputes planes → buckets → candidates → exact ranking bit-for-bit.
+    // The hot-bucket cap is disabled for this query (its sampling guard is
+    // an engine-scale knob, covered by OpsSpec's capped-bucket test); at the
+    // driver's scales no bucket approaches the default cap anyway.
     "q_ann_top1" -> ((s, dir) =>
       EmbeddingOps.annTop1(t(s, dir, "embeddings"), "vec_id", "embedding",
-                           dim = 64, nBits = 8)
+                           dim = 64, nBits = 8, nTables = 8, cap = Int.MaxValue)
         .orderBy("vec_id")),
 
     // ---- multimodal (binary image columns) ----
@@ -267,11 +271,43 @@ object SparkEntry {
     // flagship end-to-end dedup (exact ∪ caption-LSH ∪ pHash-Hamming ∪
     // containment → CC → canonical election) on the synthetic corpus —
     // the north-metric pipeline as a benchable query; rows-only check
-    // (cluster semantics are oracle-checked via q_dup_clusters and the
-    // planted-truth recall specs).
+    // (cluster semantics are oracle-checked via q_dup_clusters, the
+    // planted-truth recall specs, AND the fully-oracled q_doc_pipeline twin
+    // below).
     "q_dedup_pipeline" -> ((s, dir) => {
       val corpus = Corpus.cached(s, nClusters = 150, skewCopies = 40)
       Dedup.run(corpus, DedupConfig()).orderBy("image_id")
+    }),
+
+    // composed-pipeline TWIN over the driver's documents table, fully
+    // oracle-checked end-to-end: exact-prefix ∪ verified-Jaccard (LSH path)
+    // ∪ containment edges → connected components → window-ranked canonical
+    // election → actions table. Every edge source is individually
+    // oracle-checked above; this checks their COMPOSITION (union → CC →
+    // resolve) against a recursive-SQL + window-SQL oracle.
+    "q_doc_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("image_id"),
+                when(pmod(col("n_chars"), lit(2)) === 0, "ref")
+                  .otherwise("scan").as("role"),
+                col("text"))
+      val exact = graft.candidates.Candidates.starWithinBuckets(
+          docs.withColumn("k40", substring(col("text"), 1, 40)),
+          "image_id", Seq("k40"), "exact")
+        .select("id1", "id2")
+      val jacc = DocOps.minhashLshPairs(docs, "image_id", "text", docLsh)
+        .select(col("doc1").as("id1"), col("doc2").as("id2"))
+      val contain = DocOps.containmentPairs(docs, "image_id", "text", 3)
+        .select(col("short_id").as("id1"), col("long_id").as("id2"))
+      val cc = ConnectedComponents.run(exact.unionByName(jacc).unionByName(contain))
+      val members = docs
+        .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
+        .select(col("image_id"), col("role"),
+                coalesce(col("cluster_id"), col("image_id")).as("cluster_id"))
+      graft.resolve.Resolver.resolve(members)
+        .select(col("image_id").as("doc_id"), col("role"), col("cluster_id"),
+                col("disposition"), col("target"))
+        .orderBy("doc_id")
     }),
 
     // S3: CSV duplicate report — cluster keys renumbered 1..N (dense_rank
@@ -533,6 +569,91 @@ object SparkEntry {
           |  SELECT vec_id, nn_id, dot_q,
           |         row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nn_id ASC) AS rn
           |  FROM dots) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // full ANN replay: md5-derived ±1 hyperplanes → integer sign dots →
+      // per-table buckets → same-(table,bucket) candidates → exact quantized
+      // dot ranking. Every step is integer/md5 arithmetic, so DuckDB
+      // reproduces the approximate algorithm's output bit-for-bit.
+      "q_ann_top1" ->
+        """WITH q AS (
+          |  SELECT vec_id,
+          |         unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v,
+          |         unnest(range(0, len(embedding))) AS i
+          |  FROM embeddings),
+          |planes AS (
+          |  SELECT t.t, j.j, i.i,
+          |         CASE WHEN CAST('0x' || substr(md5('p' || CAST(t.t AS VARCHAR) || '_' || CAST(j.j AS VARCHAR) || '_' || CAST(i.i AS VARCHAR)), 1, 2) AS UBIGINT) % 2 = 0
+          |              THEN 1 ELSE -1 END AS s
+          |  FROM (SELECT unnest(range(0, 8)) AS t) t,
+          |       (SELECT unnest(range(0, 8)) AS j) j,
+          |       (SELECT unnest(range(0, 64)) AS i) i),
+          |dots AS (
+          |  SELECT q.vec_id, p.t, p.j, sum(q.v * p.s) AS d
+          |  FROM q JOIN planes p ON q.i = p.i GROUP BY 1, 2, 3),
+          |buckets AS (
+          |  SELECT vec_id, t,
+          |         sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS bucket
+          |  FROM dots GROUP BY 1, 2),
+          |cands AS (
+          |  SELECT DISTINCT a.vec_id, b.vec_id AS nn_id
+          |  FROM buckets a JOIN buckets b
+          |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          |qq AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT c.vec_id, c.nn_id,
+          |         CAST(list_sum(list_transform(range(1, len(a.qv) + 1), k -> a.qv[k] * b.qv[k])) AS BIGINT) AS dot_q
+          |  FROM cands c JOIN qq a ON a.vec_id = c.vec_id JOIN qq b ON b.vec_id = c.nn_id)
+          |SELECT vec_id, nn_id, dot_q FROM (
+          |  SELECT vec_id, nn_id, dot_q,
+          |         row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nn_id ASC) AS rn
+          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // composed pipeline: exact-prefix + verified-Jaccard + containment
+      // edges → recursive-SQL connected components → window-SQL canonical
+      // election. Mirrors q_doc_pipeline stage for stage.
+      "q_doc_pipeline" ->
+        (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+          """, norm AS (
+            |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nc
+            |  FROM documents),
+            |ex_edges AS (
+            |  SELECT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM documents a JOIN documents b
+            |    ON substr(a.text, 1, 40) = substr(b.text, 1, 40) AND a.doc_id < b.doc_id),
+            |cn_edges AS (
+            |  SELECT a.doc_id AS d1, b.doc_id AS d2
+            |  FROM norm a JOIN norm b
+            |    ON a.doc_id <> b.doc_id AND len(b.nc) > len(a.nc)
+            |   AND position(' ' || a.nc || ' ' IN ' ' || b.nc || ' ') > 0
+            |   AND len(string_split(a.nc, ' ')) >= 3),
+            |edges0 AS (
+            |  SELECT doc1 AS d1, doc2 AS d2 FROM jpairs
+            |  UNION SELECT d1, d2 FROM ex_edges
+            |  UNION SELECT d1, d2 FROM cn_edges),
+            |edges AS (SELECT d1 AS a, d2 AS b FROM edges0 UNION SELECT d2, d1 FROM edges0),
+            |reach AS (
+            |  SELECT a, b FROM edges
+            |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE r.a <> e.b),
+            |clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cid FROM reach GROUP BY a),
+            |members AS (
+            |  SELECT d.doc_id,
+            |         CASE WHEN d.n_chars % 2 = 0 THEN 'ref' ELSE 'scan' END AS role,
+            |         coalesce(c.cid, d.doc_id) AS cid
+            |  FROM documents d LEFT JOIN clusters c USING (doc_id)),
+            |ranked AS (
+            |  SELECT doc_id, role, cid,
+            |         row_number() OVER (PARTITION BY cid ORDER BY role, doc_id) AS pos,
+            |         sum(CASE WHEN role = 'ref' THEN 1 ELSE 0 END) OVER (PARTITION BY cid) AS n_ref,
+            |         min(CASE WHEN role = 'ref' THEN doc_id END) OVER (PARTITION BY cid) AS ref1
+            |  FROM members)
+            |SELECT doc_id, role, cid AS cluster_id,
+            |       CASE WHEN role = 'ref' THEN 'keep'
+            |            WHEN n_ref = 0 THEN 'none'
+            |            WHEN pos - n_ref = 1 THEN 'move'
+            |            ELSE 'scan_dup' END AS disposition,
+            |       CASE WHEN role = 'scan' AND n_ref > 0 AND pos - n_ref = 1
+            |            THEN CAST(ref1 AS VARCHAR) END AS target
+            |FROM ranked ORDER BY doc_id""".stripMargin),
       "q_embed_neardup_pairs" ->
         """WITH q AS (
           |  SELECT vec_id, label,

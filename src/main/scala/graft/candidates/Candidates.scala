@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.keys.Keys
 import graft.schema.NearDupConfig
+import graft.util.CacheScope
 
 /** Candidate-pair generation. Output contract for every source: DataFrame
   * `(id1, id2, kind)` with `id1 < id2`, distinct — the union feeds
@@ -72,6 +73,21 @@ object Candidates {
                          cap: Int, kind: String,
                          pairComplete: Boolean = false,
                          assumeDistinct: Boolean = false): (DataFrame, DataFrame) = {
+    val Seq(pairs, metrics) = CacheScope.sealMany { scope =>
+      val (p, m) = pairsWithinBucketsIn(keyed, idCol, keyCols, cap, kind,
+        pairComplete, assumeDistinct)(scope)
+      Seq(p, m)
+    }
+    (pairs, metrics)
+  }
+
+  /** Lazy body of `pairsWithinBuckets`: intermediates persist into `scope`;
+    * the caller seals its own outputs and closes the scope. */
+  private[graft] def pairsWithinBucketsIn(
+      keyed: DataFrame, idCol: String, keyCols: Seq[String],
+      cap: Int, kind: String,
+      pairComplete: Boolean = false,
+      assumeDistinct: Boolean = false)(scope: CacheScope): (DataFrame, DataFrame) = {
     val ks = keyCols.map(col)
     // persisted: read once for bucket sizes (inside the broadcast build,
     // which must finish within spark.sql.broadcastTimeout) and once for the
@@ -81,8 +97,7 @@ object Candidates {
     // the exploded frame — when the caller's (keyCols, id) rows are unique
     // by construction (e.g. posexplode of a per-row band array).
     val base = keyed.select((keyCols :+ idCol).map(col): _*)
-    val rows = (if (assumeDistinct) base else base.distinct())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = scope.persist(if (assumeDistinct) base else base.distinct())
     val sizes = rows.groupBy(ks: _*).agg(count(lit(1)).as("_bsz"))
     val oversized = sizes.where(col("_bsz") > cap)
       .withColumn("_nsalt", ceil(col("_bsz").cast("double") / cap).cast("int"))
@@ -167,10 +182,21 @@ object Candidates {
                                      cfg: NearDupConfig,
                                      pairComplete: Boolean = false)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val Seq(repPairs, members, shingledReps, metrics) = CacheScope.sealMany { scope =>
+      val (p, m, s, mx) = captionLshPartsIn(df, idCol, captionCol, cfg, pairComplete)(scope)
+      Seq(p, m, s, mx)
+    }
+    (repPairs, members, shingledReps, metrics)
+  }
+
+  /** Lazy body of `captionLshParts` — see `pairsWithinBucketsIn`. */
+  private[graft] def captionLshPartsIn(df: DataFrame, idCol: String, captionCol: String,
+                                       cfg: NearDupConfig,
+                                       pairComplete: Boolean = false)(scope: CacheScope)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val norm = df.select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
     val repW = Window.partitionBy(col("_nc"))
-    val withRep = norm.withColumn("_rep", min(idCol).over(repW))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withRep = scope.persist(norm.withColumn("_rep", min(idCol).over(repW)))
     val members = withRep.select(col(idCol).as("id"), col("_rep").as("rep"))
     // ONE fused JVM pass per rep computes the distinct shingle hashes AND
     // the LSH band hashes (Keys.shingleLshUdf): shingling via the
@@ -181,17 +207,16 @@ object Candidates {
     // Jaccard unless two distinct shingles of one compared pair collide in
     // 64 bits (~1e-19 per pair).
     val sbUdf = Keys.shingleLshUdf(cfg.shingleK, cfg.lshBands, cfg.lshRowsPerBand)
-    val shingled = withRep.where(col(idCol) === col("_rep"))
+    val shingled = scope.persist(withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), sbUdf(col("_nc")).as("_sb"))
       .where(size(col("_sb._1")) > 0)
-      .select(col(idCol), col("_sb._1").as("_shh"), col("_sb._2").as("_bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(idCol), col("_sb._1").as("_shh"), col("_sb._2").as("_bands")))
     val exploded = shingled
       .select(col(idCol),
               posexplode(col("_bands")).as(Seq("band_id", "band_hash")))
-    val (cand, metrics) = pairsWithinBuckets(
+    val (cand, metrics) = pairsWithinBucketsIn(
       exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize,
-      "caption_lsh", pairComplete, assumeDistinct = true)
+      "caption_lsh", pairComplete, assumeDistinct = true)(scope)
     // verify: join hashed shingle sets back, exact Jaccard (integer-exact)
     val verified = cand
       .join(shingled.select(col(idCol).as("id1"), col("_shh").as("_sh1")), "id1")
@@ -248,13 +273,19 @@ object Candidates {
     * values are AQE skew-join territory. Input `df(idCol, hashCol)`;
     * output (id1, id2, hamming_d) with id1 < id2, distinct. */
   def multiIndexHammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                             bands: Int, subRadius: Int, radius: Int): DataFrame = {
+                             bands: Int, subRadius: Int, radius: Int): DataFrame =
+    CacheScope.seal(
+      multiIndexHammingPairsIn(df, idCol, hashCol, bands, subRadius, radius)(_))
+
+  /** Lazy body of `multiIndexHammingPairs` — see `pairsWithinBucketsIn`. */
+  private[graft] def multiIndexHammingPairsIn(
+      df: DataFrame, idCol: String, hashCol: String,
+      bands: Int, subRadius: Int, radius: Int)(scope: CacheScope): DataFrame = {
     require(bands * (subRadius + 1) - 1 >= radius,
       s"multi-index guarantee ${bands * (subRadius + 1) - 1} below radius $radius")
-    val indexed = df.select(col(idCol), col(hashCol),
+    val indexed = scope.persist(df.select(col(idCol), col(hashCol),
         posexplode(Keys.hammingBands(col(hashCol), bands))
-          .as(Seq("band_id", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .as(Seq("band_id", "band_val"))))
     val masks = Keys.flipMasks(64 / bands, subRadius)
     val probe = indexed.select(col(idCol).as("_pid"), col(hashCol).as("_ph"),
         col("band_id"),
@@ -305,17 +336,21 @@ object Candidates {
     * when many captions share a prefix (exactly the skew-block shape).
     * Verified with an exact `instr` check — never a cartesian product. */
   def containmentEdges(df: DataFrame, idCol: String, captionCol: String,
-                       cfg: NearDupConfig): DataFrame = {
+                       cfg: NearDupConfig): DataFrame =
+    CacheScope.seal(containmentEdgesIn(df, idCol, captionCol, cfg)(_))
+
+  /** Lazy body of `containmentEdges` — see `pairsWithinBucketsIn`. */
+  private[graft] def containmentEdgesIn(df: DataFrame, idCol: String, captionCol: String,
+                                        cfg: NearDupConfig)(scope: CacheScope): DataFrame = {
     // no defensive distinct: idCol is the row identity, so (id, caption)
     // rows are unique already — a distinct here is a full no-op shuffle.
     // Shingles are JVM-hashed longs (Keys.shingleHashUdf): block-key joins
     // and df counts are identity-equivalent on the 8-byte hash, and the
     // substring verify below uses the strings, never the shingles.
-    val norm = df
+    val norm = scope.persist(df
       .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(cfg.shingleK)(col("_nc")))
-      .where(size(col("_sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("_sh")) > 0))
     val exploded = norm.select(col(idCol), col("_nc"), explode(col("_sh")).as("block"))
     // global shingle document frequency (partial-agg shuffle, skew-free),
     // then per-doc argmin by (df, shingle) — deterministic block choice.

@@ -99,10 +99,14 @@ object ConnectedComponents {
     // components: every node that appears as src points at its root (dst);
     // roots themselves and isolated nodes map to themselves.
     val roots = e.groupBy("src").agg(min("dst").as("cluster_id"))
+    // sealed output: eager localCheckpoint materializes the mapping (one
+    // pass, same cost the old persist+count paid) but lives OUTSIDE the SQL
+    // cache manager — reclaimed by the ContextCleaner once unreferenced, so
+    // a long-lived session composing operators never accumulates CC outputs
     val out = allNodes
       .join(roots.withColumnRenamed("src", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-    out.persist(StorageLevel.MEMORY_AND_DISK).count()
+      .localCheckpoint(true)
     allNodes.unpersist(); e.unpersist(); e0.unpersist()
     (out, iter, prevSig._1)
   }

@@ -126,17 +126,23 @@ object Corpus {
   }
 
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int, Long), org.apache.spark.sql.DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Long), org.apache.spark.sql.DataFrame]
 
   /** Memoized, persisted corpus per (session, nClusters, skewCopies, seed):
     * queries that run over the synthetic corpus (q_dedup_pipeline,
     * q_image_features) share one materialization instead of re-encoding
     * every image per invocation; if an external `clearCache()` dropped the
     * persist, it is re-persisted and re-materialized here (outside any
-    * caller's timed window). */
+    * caller's timed window). Keyed by the context's unique applicationId
+    * (+ session identity within it): a bare identity-hash key can collide
+    * with a NEW session after the old one is GC'd, handing out a DataFrame
+    * bound to a stopped SparkContext; entries of stopped contexts are also
+    * dropped before reuse. */
   def cached(spark: SparkSession, nClusters: Int, skewCopies: Int = 0,
              seed: Long = 42L): org.apache.spark.sql.DataFrame = {
-    val key = (System.identityHashCode(spark), nClusters, skewCopies, seed)
+    memo.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+    val key = (s"${spark.sparkContext.applicationId}-${System.identityHashCode(spark)}",
+               nClusters, skewCopies, seed)
     val df = memo.getOrElseUpdate(key, generate(spark, nClusters, skewCopies, seed).toDF())
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

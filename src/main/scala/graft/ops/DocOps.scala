@@ -1,10 +1,12 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.keys.Keys
 import graft.schema.NearDupConfig
+import graft.util.CacheScope
 
 /** Text-analysis + dedup operators over a documents table
   * (doc_id, text, ...) — the training-data-pipeline ops (exact dedup,
@@ -14,31 +16,48 @@ import graft.schema.NearDupConfig
   */
 object DocOps {
 
-  /** Distinct (doc_id, shingle) pairs — the blocking/verification unit. */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-                explode(Keys.shingles(col(textCol), k)).as("s"))
-      .distinct()
-
-  /** Exact n-gram-Jaccard pairs ≥ thresholdPct/100, via shared-shingle
-    * blocking: only pairs sharing ≥1 shingle are ever materialized, and the
-    * intersection count falls out of the block join itself. Output:
-    * (doc1, doc2, n_inter, n_union). */
+  /** Exact n-gram-Jaccard pairs ≥ thresholdPct/100 via PREFIX FILTERING
+    * (Chaudhuri et al. ICDE'06; Bayardo et al. WWW'07; Xiao et al. PPJoin):
+    * under a global shingle order, two sets with Jaccard ≥ t must share a
+    * shingle within their first (n − ⌈t·n⌉ + 1) shingles, so only prefix
+    * shingles are blocking keys. Ordering by (global document frequency
+    * asc, shingle) puts the RAREST shingles in the prefixes — the join cost
+    * is Σ over prefix-shingles of df², NOT Σ over all shingles: a stop-
+    * phrase shared by every document never blocks (the naive shared-shingle
+    * join was O(Σ df²) over the whole vocabulary — quadratic on any
+    * vocabulary-correlated corpus). Nothing is dropped: blocking is
+    * recall-lossless by the prefix-filter theorem and candidates are
+    * verified with exact integer Jaccard over the full shingle sets.
+    * Output: (doc1, doc2, n_inter, n_union). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, thresholdPct: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = sh.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-    val inter = sh.select(col("doc_id").as("doc1"), col("s"))
-      .join(sh.select(col("doc_id").as("doc2"), col("s")), "s")
+                   k: Int, thresholdPct: Int): DataFrame = CacheScope.seal { scope =>
+    // distinct shingles as 8-byte JVM hashes (see Candidates.containmentEdges
+    // — set identity is preserved modulo 64-bit collisions ~1e-19/pair)
+    val withSh = scope.persist(docs
+      .select(col(idCol).as("doc_id"),
+              Keys.shingleHashUdf(k)(Keys.normCaption(col(textCol))).as("_sh"))
+      .where(size(col("_sh")) > 0))
+    val exploded = withSh.select(col("doc_id"), size(col("_sh")).as("nt"),
+                                 explode(col("_sh")).as("s"))
+    val freq = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("_df"), col("s"))
+    // integer ceil: ⌈nt·t⌉ = (nt·pct + 99) DIV 100
+    val prefix = scope.persist(exploded.join(freq, "s")
+      .withColumn("_rk", row_number().over(wDoc))
+      .where(col("_rk") <= col("nt") - expr(s"(nt * $thresholdPct + 99) DIV 100") + 1)
+      .select("doc_id", "s"))
+    val cand = prefix.select(col("doc_id").as("doc1"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc2"), col("s")), "s")
       .where(col("doc1") < col("doc2"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(n.select(col("doc_id").as("doc1"), col("nt").as("n1")), "doc1")
-      .join(n.select(col("doc_id").as("doc2"), col("nt").as("n2")), "doc2")
-      .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+      .select("doc1", "doc2").distinct()
+    val verified = cand
+      .join(withSh.select(col("doc_id").as("doc1"), col("_sh").as("_sh1")), "doc1")
+      .join(withSh.select(col("doc_id").as("doc2"), col("_sh").as("_sh2")), "doc2")
+    val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
+    verified
+      .select(col("doc1"), col("doc2"),
+              inter.cast("long").as("n_inter"), union.cast("long").as("n_union"))
       .where(col("n_inter") * 100 >= col("n_union") * thresholdPct)
-      .select("doc1", "doc2", "n_inter", "n_union")
   }
 
   /** MinHash+LSH near-dup pairs, verified with exact Jaccard — the
@@ -66,14 +85,14 @@ object DocOps {
     * FREQUENT shingle (classic prefix filtering, à la PPJoin) minimizes
     * bucket sizes — a naive first-shingle key degenerates quadratically
     * when many texts share a prefix. Output (short_id, long_id). */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = CacheScope.seal { scope =>
     // shingles are JVM-hashed longs (see Candidates.containmentEdges —
     // block identity only; the substring verify uses the strings)
-    val norm = docs
+    val norm = scope.persist(docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(k)(col("_nc")))
-      .where(size(col("_sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .where(size(col("_sh")) > 0))
     val exploded = norm.select(col("doc_id"), col("_nc"), explode(col("_sh")).as("block"))
     // global shingle document frequency (partial-agg shuffle, skew-free),
     // then per-doc argmin by (df, shingle) — deterministic block choice.
@@ -121,23 +140,27 @@ object DocOps {
     * distance 0 + cross pairs at the rep distance).
     * Output (doc1, doc2, hamming_d), doc1 < doc2. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   cfg: NearDupConfig): DataFrame = {
+                   cfg: NearDupConfig): DataFrame =
+    CacheScope.seal(simhashPairsIn(docs, idCol, textCol, cfg)(_))
+
+  /** Lazy body of `simhashPairs` (intermediates persist into `scope`;
+    * plan-shape tests inspect this un-sealed form). */
+  private[graft] def simhashPairsIn(docs: DataFrame, idCol: String, textCol: String,
+                                    cfg: NearDupConfig)(scope: CacheScope): DataFrame = {
     val base = docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
     // collapse identical normalized texts to one representative (skew guard,
     // same as the LSH path)
-    val repW = org.apache.spark.sql.expressions.Window.partitionBy(col("_nc"))
-    val withRep = base.withColumn("_rep", min("doc_id").over(repW))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val repW = Window.partitionBy(col("_nc"))
+    val withRep = scope.persist(base.withColumn("_rep", min("doc_id").over(repW)))
     val members = withRep.select(col("doc_id").as("id"), col("_rep").as("rep"))
-    val reps = withRep.where(col("doc_id") === col("_rep"))
+    val reps = scope.persist(withRep.where(col("doc_id") === col("_rep"))
       .select(col("doc_id"), Keys.tokens(col("_nc")).as("_t"))
       .where(size(col("_t")) > 0)
-      .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("_sim"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val repPairs = graft.candidates.Candidates.multiIndexHammingPairs(
+      .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("_sim")))
+    val repPairs = graft.candidates.Candidates.multiIndexHammingPairsIn(
       reps, "doc_id", "_sim",
-      cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius)
+      cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius)(scope)
     // member expansion carrying the distance: cross pairs inherit the rep
     // distance (identical text ⇒ identical signature); identical-text
     // groups pair at distance 0

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.util.CacheScope
+
 /** Similarity search over an embedding column (array<float>).
   *
   * Quantized integer dot products (round(x*1000) per dimension) make
@@ -25,10 +27,10 @@ object EmbeddingOps {
     * column (label): never a global cartesian — within-block join + window
     * argmax. Output (vec_id, nn_id, dot_q). Ties broken by smaller nn_id. */
   def top1WithinLabel(emb: DataFrame, idCol: String, vecCol: String,
-                      labelCol: String): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-                       quantize(col(vecCol)).as("q"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                      labelCol: String): DataFrame = CacheScope.seal { scope =>
+    val q = scope.persist(
+      emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+                 quantize(col(vecCol)).as("q")))
     val pairs = q.select(col("vec_id"), col("label"), col("q"))
       .join(q.select(col("vec_id").as("nn_id"), col("label"), col("q").as("q2")), "label")
       .where(col("vec_id") =!= col("nn_id"))
@@ -55,20 +57,52 @@ object EmbeddingOps {
       .where(col("dot_q") >= tauQ)
   }
 
-  /** Random-hyperplane (SimHash) LSH sign-bucket for ANN: bit j of table
-    * `table`'s bucket = sign(v · h_{t,j}) where hyperplane h_{t,j}'s
-    * components are ±1 from the parity of xxhash64(table, j, dim-index) —
-    * no stored model, every executor recomputes the same planes. */
-  def hyperplaneBucket(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
-    val bits = (0 until nBits).map { j =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => when(pmod(xxhash64(lit(table), lit(j), i), lit(2)) === 0, x)
-            .otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+  /** ±1 component i of random hyperplane (t, j) — derived from **md5** so
+    * the planes (and therefore every LSH bucket) are reproducible in ANY
+    * SQL engine, making the full ANN output oracle-checkable: sign = +1
+    * iff the first byte of md5("p{t}_{j}_{i}") is even. DuckDB computes the
+    * identical value as
+    * `CAST('0x' || substr(md5('p'||t||'_'||j||'_'||i), 1, 2) AS UBIGINT) % 2`.
+    * No stored model — every executor (and the oracle) recomputes the same
+    * planes. */
+  private[graft] def planeSign(t: Int, j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"p${t}_${j}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+
+  /** Random-hyperplane (SimHash) sign-buckets for ALL tables in one JVM
+    * pass over the QUANTIZED vector: bit j of table t's bucket =
+    * [Σ_i q_i · planeSign(t,j,i) > 0]. Integer dot products make the bucket
+    * decision exact in every engine (float association order can flip a
+    * sign at the boundary); one fused loop replaces nTables × nBits
+    * interpreted higher-order-function aggregates (the measured cost of the
+    * expression form — see Keys.minhashBandUdf for the precedent). */
+  def hyperplaneBucketsUdf(dim: Int, nBits: Int, nTables: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val signs: Array[Array[Array[Int]]] =
+      Array.tabulate(nTables, nBits, dim)(planeSign)
+    org.apache.spark.sql.functions.udf { (q: Seq[Long]) =>
+      val qa = q.toArray
+      val n = math.min(dim, qa.length)
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bucket = 0L
+        var j = 0
+        while (j < nBits) {
+          val s = signs(t)(j)
+          var dot = 0L
+          var i = 0
+          while (i < n) { dot += qa(i) * s(i); i += 1 }
+          if (dot > 0) bucket |= (1L << j)
+          j += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
   /** ANN top-1 via multi-table hyperplane LSH: `nTables` independent
@@ -95,13 +129,12 @@ object EmbeddingOps {
     * Output (vec_id, nn_id, dot_q) — approximate top-1 per vector. */
   def annTop1(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, nBits: Int = 8, nTables: Int = 8,
-              cap: Int = 256): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"),
-                       quantize(col(vecCol)).as("q"),
-                       posexplode(array((0 until nTables).map(t =>
-                         hyperplaneBucket(col(vecCol), dim, nBits, t)): _*))
-                         .as(Seq("table_id", "bucket")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              cap: Int = 256): DataFrame = CacheScope.seal { scope =>
+    val bucketsUdf = hyperplaneBucketsUdf(dim, nBits, nTables)
+    val q = scope.persist(
+      emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+        .select(col("vec_id"), col("q"),
+                posexplode(bucketsUdf(col("q"))).as(Seq("table_id", "bucket"))))
     val bucketKey = Seq("table_id", "bucket")
     val oversized = q.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("_bsz"))

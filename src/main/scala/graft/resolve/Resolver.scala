@@ -69,18 +69,18 @@ object Resolver {
           when(col("role") === "scan" && col("n_ref") > 0 && col("rn") === 1,
                col("_ref1").cast("string"))
             .otherwise(lit(null).cast("string")).as("target"))
-    } else {
+    } else graft.util.CacheScope.seal { scope =>
     // copy_to_all needs rank-equality joins against the ref list — keep the
-    // materialized ranked frame + branch arms for this mode only.
-    val ranked = members
+    // materialized ranked frame + branch arms for this mode only (scoped:
+    // the persist is released once the sealed actions table materializes).
+    val ranked = scope.persist(members
       .withColumn("n_ref",
         sum(when(col("role") === "ref", 1).otherwise(0)).over(wAll))
       .withColumn("n_scan",
         sum(when(col("role") === "scan", 1).otherwise(0)).over(wAll))
       .withColumn("rn",
         row_number().over(w) -
-          when(col("role") === "scan", col("n_ref")).otherwise(lit(0)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          when(col("role") === "scan", col("n_ref")).otherwise(lit(0))))
     val matched = col("n_ref") > 0 && col("n_scan") > 0
 
     val refs = ranked.where(col("role") === "ref")

@@ -142,10 +142,17 @@ final case class NearDupConfig(
 }
 
 /** Disposition policy — reference `process_duplicates`
-  * (/root/reference/duplicate_files_in_folders/duplicates_finder.py:180-214). */
+  * (/root/reference/duplicate_files_in_folders/duplicates_finder.py:180-214).
+  *
+  * The reference's `--keep_structure` flag (utils.py:177-191) only changes
+  * how a TARGET PATH STRING is composed from the scan-relative subpath —
+  * pure path arithmetic over a filesystem tree. The engine's data model has
+  * no path column (image_id is an opaque row identity; same rationale as
+  * operator P5 in SURVEY.md §8), so the flag has no semantics here and is
+  * deliberately NOT part of the config surface: move/copy targets are ref
+  * row identities, and any path layout is the sink's concern. */
 final case class ResolveConfig(
-    copyToAll: Boolean = false,
-    keepStructure: Boolean = false
+    copyToAll: Boolean = false
 )
 
 final case class DedupConfig(

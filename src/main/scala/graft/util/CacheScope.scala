@@ -1,0 +1,57 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Operator-scoped persist management.
+  *
+  * Every multi-consumer intermediate inside an operator (shingle frames,
+  * salted bucket rows, ranked windows) must be persisted — but a persist
+  * with no matching unpersist accumulates in the session's cache manager,
+  * and a long-lived session composing many operators slowly squeezes
+  * executor storage out from under the shuffles that need it. The pattern
+  * here makes the leak structurally impossible:
+  *
+  *   - intermediates register through `scope.persist`;
+  *   - the operator's OUTPUT is materialized eagerly (`localCheckpoint`
+  *     — on a multi-node cluster this would be a reliable checkpoint /
+  *     TableIO snapshot), which truncates its lineage off the scoped
+  *     frames;
+  *   - the scope then releases every registered persist (try/finally,
+  *     so failures release too).
+  *
+  * Checkpointed outputs live as plain RDD blocks outside the SQL cache
+  * manager and are reclaimed by the ContextCleaner once unreferenced, so
+  * after any operator returns, the session's cache manager is empty
+  * (asserted by PersistScopeSpec). A second win: sealed operators are
+  * independent Spark jobs, so the engine can run several candidate
+  * sources CONCURRENTLY on one session (see Dedup.candidateEdges).
+  */
+final class CacheScope {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) for the life of this scope. */
+  def persist(df: DataFrame): DataFrame = {
+    frames += df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def close(): Unit = {
+    frames.foreach(_.unpersist(blocking = false))
+    frames.clear()
+  }
+}
+
+object CacheScope {
+  /** Build one output inside a fresh scope, seal it, release the scope. */
+  def seal(body: CacheScope => DataFrame): DataFrame =
+    sealMany(s => Seq(body(s))).head
+
+  /** Build several outputs inside ONE fresh scope (they may share scoped
+    * intermediates), seal each eagerly, release the scope. */
+  def sealMany(body: CacheScope => Seq[DataFrame]): Seq[DataFrame] = {
+    val scope = new CacheScope
+    try body(scope).map(_.localCheckpoint(eager = true))
+    finally scope.close()
+  }
+}

@@ -55,27 +55,85 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("candidate generation plans never contain a cartesian product") {
+    // operators seal (eagerly checkpoint) their public outputs, so the plan
+    // to audit is the LAZY In-variant each seal wraps — the actual join
+    // shapes, before they collapse to a checkpointed LogicalRDD scan
     val corpus = graft.gen.Corpus.generate(spark, nClusters = 10).toDF()
-    val (edges, _) = Dedup.candidateEdges(corpus, graft.schema.DedupConfig())
-    val plan = edges.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      "every candidate source must be a blocked equi-join")
+    val cfg = graft.schema.DedupConfig()
+    val keyed = corpus.withColumn("key",
+      graft.keys.Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime")))
+    val scope = new graft.util.CacheScope
+    try {
+      val (lshPairs, _, _, _) = graft.candidates.Candidates
+        .captionLshPartsIn(corpus, "image_id", "caption", cfg.near)(scope)
+      val contain = graft.candidates.Candidates
+        .containmentEdgesIn(corpus, "image_id", "caption", cfg.near)(scope)
+      val exact = graft.candidates.Candidates.exactEdges(keyed, "image_id", "key")
+      Seq(lshPairs, contain, exact).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          "every candidate source must be a blocked equi-join")
+      }
+    } finally { scope.close(); spark.catalog.clearCache() }
   }
 
   test("doc near-dup pair listings are blocked equi-joins (no nested loop)") {
     assume(haveTestdata)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val cfg = graft.schema.NearDupConfig(jaccardThreshold = 0.8)
-    Seq(
-      graft.ops.DocOps.simhashPairs(docs, "doc_id", "text", cfg),
-      graft.ops.DocOps.minhashLshPairs(docs, "doc_id", "text", cfg),
-      graft.ops.DocOps.containmentPairs(docs, "doc_id", "text", 3)
-    ).foreach { df =>
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct") &&
-             !plan.contains("BroadcastNestedLoopJoin"),
-        "near-dup blocking must never degenerate to a nested loop")
-    }
+    val scope = new graft.util.CacheScope
+    try {
+      val (repPairs, members, shingledReps, _) = graft.candidates.Candidates
+        .captionLshPartsIn(docs, "doc_id", "text", cfg, pairComplete = true)(scope)
+      Seq(
+        graft.ops.DocOps.simhashPairsIn(docs, "doc_id", "text", cfg)(scope),
+        graft.candidates.Candidates.expandRepPairs(repPairs, members, shingledReps),
+        graft.candidates.Candidates.containmentEdgesIn(docs, "doc_id", "text", cfg)(scope)
+      ).foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") &&
+               !plan.contains("BroadcastNestedLoopJoin"),
+          "near-dup blocking must never degenerate to a nested loop")
+      }
+    } finally { scope.close(); spark.catalog.clearCache() }
+  }
+
+  test("operators leave the session cache manager empty (scoped persists)") {
+    assume(haveTestdata)
     spark.catalog.clearCache()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cfg = graft.schema.NearDupConfig(jaccardThreshold = 0.8)
+    // sharedState/cacheManager are private[sql]; Scala qualified-private is
+    // public in bytecode, so reflection reads them cleanly
+    def cacheManagerEmpty: Boolean = {
+      val shared = spark.getClass.getMethod("sharedState").invoke(spark)
+      val cm = shared.getClass.getMethod("cacheManager").invoke(shared)
+      cm.getClass.getMethod("isEmpty").invoke(cm).asInstanceOf[Boolean]
+    }
+    def assertClean(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      body.count()
+      assert(cacheManagerEmpty,
+        s"$tag must release every persist after its action")
+    }
+    assertClean("jaccardPairs")(
+      graft.ops.DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80))
+    assertClean("minhashLshPairs")(
+      graft.ops.DocOps.minhashLshPairs(docs, "doc_id", "text", cfg))
+    assertClean("simhashPairs")(
+      graft.ops.DocOps.simhashPairs(docs, "doc_id", "text", cfg))
+    assertClean("containmentPairs")(
+      graft.ops.DocOps.containmentPairs(docs, "doc_id", "text", 3))
+    assertClean("annTop1")(
+      graft.ops.EmbeddingOps.annTop1(emb, "vec_id", "embedding", 64, 8))
+    assertClean("top1WithinLabel")(
+      graft.ops.EmbeddingOps.top1WithinLabel(emb, "vec_id", "embedding", "label"))
+    val corpus = graft.gen.Corpus.generate(spark, nClusters = 10).toDF()
+    assertClean("Dedup.run")(
+      Dedup.run(corpus, graft.schema.DedupConfig()))
+    assertClean("Resolver copy_to_all")(
+      graft.resolve.Resolver.resolve(
+        corpus.selectExpr("image_id", "role", "image_id AS cluster_id"),
+        graft.schema.ResolveConfig(copyToAll = true)))
   }
 }
