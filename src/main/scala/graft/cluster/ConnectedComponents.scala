@@ -29,8 +29,17 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
     runWithStats(edges, maxIter)._1
 
-  /** run + (iterations, finalEdgeCount) for tests/metrics. */
-  def runWithStats(edges: DataFrame, maxIter: Int = 50): (DataFrame, Int, Long) = {
+  /** run + (rounds, finalEdgeCount) for tests/metrics.
+    *
+    * `roundsPerJob`: large-star/small-star rounds chained per materialized
+    * job. Every materialization is a full cluster barrier (checkpoint write
+    * + signature action + scheduler round-trip) — at high core counts these
+    * barriers are flat cost that caps scaling efficiency, and component
+    * diameters shrink so fast (squared per round) that typical inputs
+    * converge in 3-5 rounds: batching 2 rounds per job halves the barrier
+    * count for at most one wasted round after convergence. */
+  def runWithStats(edges: DataFrame, maxIter: Int = 50,
+                   roundsPerJob: Int = 2): (DataFrame, Int, Long) = {
     val spark = edges.sparkSession
     val Seq(c1, c2) = edges.columns.take(2).toSeq
     // normalize once and materialize: every downstream read (node universe +
@@ -51,13 +60,15 @@ object ConnectedComponents {
     allNodes.count()
     val e0 = e
 
-    var iter = 0
-    var converged = false
-    var prevSig: (Long, Any) = (-1L, null)
-    while (!converged && iter < maxIter) {
-      // --- large star: for every node u, attach all neighbors v > u to the
-      //     minimum of (u ∪ neighbors). Both edge directions participate.
-      val nbrs = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // ONE alternating large-star + small-star round (lazy plan):
+    //   large star: for every node u, attach all neighbors v > u to the
+    //     minimum of (u ∪ neighbors) — both edge directions participate;
+    //   small star: edges then satisfy src > dst; for each u attach all its
+    //     smaller neighbors (and u) to the minimum neighbor.
+    // The neighborhood minimum is a window `min`, never collect_list — a
+    // degenerate high-degree node holds no adjacency list in one task.
+    def round(cur: DataFrame): DataFrame = {
+      val nbrs = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       val wL = Window.partitionBy("src")
       val large = nbrs
         .withColumn("m", least(min("dst").over(wL), col("src")))
@@ -65,36 +76,41 @@ object ConnectedComponents {
         .select(col("dst").as("src"), col("m").as("dst")) // keep src > dst
         .where(col("src") =!= col("dst"))
         .distinct()
-      // --- small star: edges already satisfy src > dst; for each u attach
-      //     all its smaller neighbors (and u) to the minimum neighbor.
       val wS = Window.partitionBy("src")
       val withMin = large.withColumn("m", min("dst").over(wS))
-      // localCheckpoint (eager): materializes the iteration AND truncates the
-      // logical plan — a persist alone leaves the plan tree growing
-      // exponentially across iterations. On a multi-node cluster this becomes
-      // a reliable checkpoint / table write (TableIO.stageCheckpoint).
-      // lazy localCheckpoint: the signature aggregation below is the action
-      // that materializes it — ONE job per iteration (eager checkpoint +
-      // separate agg was two), and the plan still truncates for the next
-      // round (a persist alone leaves the tree growing exponentially).
-      val small = withMin
+      withMin
         .select(col("src"), col("m").as("dst"))
         .union(withMin.where(col("dst") =!= col("m"))
           .select(col("dst").as("src"), col("m").as("dst")))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(false)
+    }
+
+    var iter = 0
+    var converged = false
+    var prevSig: (Long, Any) = (-1L, null)
+    while (!converged && iter < maxIter) {
+      var cur = e
+      var r = 0
+      while (r < roundsPerJob && iter + r < maxIter) { cur = round(cur); r += 1 }
+      // lazy localCheckpoint: materializes the chained rounds AND truncates
+      // the logical plan (a persist alone leaves the tree growing
+      // exponentially across iterations); the signature aggregation below is
+      // the action that materializes it — ONE job per batch. On a multi-node
+      // cluster this becomes a reliable checkpoint / table write
+      // (TableIO.stageCheckpoint).
+      val next = cur.localCheckpoint(false)
       // convergence: edge set stable (count + order-independent xor-hash —
       // xor, not sum: ANSI mode makes long-sum overflow an error)
-      val sig = small.agg(
+      val sig = next.agg(
         count(lit(1)),
         call_function("bit_xor", xxhash64(col("src"), col("dst")))).first()
       val newSig = (sig.getLong(0), sig.get(1))
       e.unpersist()
-      e = small
+      e = next
       converged = newSig == prevSig
       prevSig = newSig
-      iter += 1
+      iter += r
     }
     // components: every node that appears as src points at its root (dst);
     // roots themselves and isolated nodes map to themselves.
