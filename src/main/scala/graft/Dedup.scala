@@ -54,8 +54,14 @@ object Dedup {
     * measured flat scaling residue (BASELINE.md round 2); concurrently it
     * is their MAX, and the scheduler backfills idle cores of one source's
     * barrier with another source's tasks. */
+  /** @param dedup apply a final global `distinct` across sources. The
+    *   public contract keeps it true; the clustering pipeline passes false —
+    *   ConnectedComponents normalizes (orient + distinct) as its first step,
+    *   so a union-level distinct there is a second full shuffle of the edge
+    *   set for nothing. */
   def candidateEdges(df: DataFrame, cfg: DedupConfig,
-                     hashCol: Option[String] = None): (DataFrame, DataFrame) = {
+                     hashCol: Option[String] = None,
+                     dedup: Boolean = true): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
@@ -90,7 +96,8 @@ object Dedup {
     val metrics = results.flatMap(_._2).foldLeft(
       Seq.empty[(String, Long, Long)].toDF("source", "salted_buckets", "salt_groups"))(
       _ unionByName _)
-    (edges.select("id1", "id2").distinct(), metrics)
+    val out = edges.select("id1", "id2")
+    (if (dedup) out.distinct() else out, metrics)
   }
 
   /** Full clustering: every (filtered) row tagged with its duplicate
@@ -98,8 +105,11 @@ object Dedup {
     * to themselves). */
   def clusterMembers(df: DataFrame, cfg: DedupConfig): DataFrame = {
     val filtered = filterRows(df, cfg.filter)
-    val (edges, _) = candidateEdges(filtered, cfg)
-    val cc = ConnectedComponents.run(edges)
+    val (edges, _) = candidateEdges(filtered, cfg, dedup = false)
+    // mapping-only CC: roots/singletons are absent and coalesce to
+    // themselves below — skips the node-universe union-distinct, its count
+    // barrier, and the final universe join (flat per-run jobs at scale)
+    val cc = ConnectedComponents.runMapping(edges)
     filtered
       .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
@@ -182,8 +192,11 @@ object Dedup {
       e
     }
     scratch.foreach(_.unpersist())
+    // the clusters stage table holds the NON-ROOT mapping only (roots and
+    // singletons coalesce to themselves at read time below) — smaller
+    // snapshot, and skips CC's node-universe jobs
     val cc = TableIO.stageCheckpoint(spark, s"$stateRoot/clusters", "clusters") {
-      ConnectedComponents.run(edges)
+      ConnectedComponents.runMapping(edges)
     }
     val actions = TableIO.stageCheckpoint(spark, s"$stateRoot/actions", "actions") {
       val members = filtered

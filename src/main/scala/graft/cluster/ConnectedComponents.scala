@@ -29,6 +29,18 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 50): DataFrame =
     runWithStats(edges, maxIter)._1
 
+  /** Normalized edge frame (src > dst, no self-loops, distinct) — lazy. */
+  private def normalize(edges: DataFrame): DataFrame = {
+    val Seq(c1, c2) = edges.columns.take(2).toSeq
+    edges
+      .select(col(c1).as("src"), col(c2).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("dst2"),
+              greatest(col("src"), col("dst")).as("src2"))
+      .select(col("src2").as("src"), col("dst2").as("dst")) // src > dst
+      .distinct()
+  }
+
   /** run + (rounds, finalEdgeCount) for tests/metrics.
     *
     * `roundsPerJob`: large-star/small-star rounds chained per materialized
@@ -40,25 +52,56 @@ object ConnectedComponents {
     * count for at most one wasted round after convergence. */
   def runWithStats(edges: DataFrame, maxIter: Int = 50,
                    roundsPerJob: Int = 2): (DataFrame, Int, Long) = {
-    val spark = edges.sparkSession
-    val Seq(c1, c2) = edges.columns.take(2).toSeq
     // normalize once and materialize: every downstream read (node universe +
     // first iteration) hits the persisted copy, never the caller's candidate
     // DAG twice
-    var e = edges
-      .select(col(c1).as("src"), col(c2).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("dst2"),
-              greatest(col("src"), col("dst")).as("src2"))
-      .select(col("src2").as("src"), col("dst2").as("dst")) // src > dst
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val allNodes = e
-      .select(col("src").as("id")).union(e.select(col("dst").as("id")))
+    val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val allNodes = e0
+      .select(col("src").as("id")).union(e0.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     allNodes.count()
-    val e0 = e
+    val (fin, iter, nEdges) = converge(e0, maxIter, roundsPerJob)
+    // components: every node that appears as src points at its root (dst);
+    // roots themselves and isolated nodes map to themselves.
+    val roots = fin.groupBy("src").agg(min("dst").as("cluster_id"))
+    // sealed output: eager localCheckpoint materializes the mapping (one
+    // pass, same cost the old persist+count paid) but lives OUTSIDE the SQL
+    // cache manager — reclaimed by the ContextCleaner once unreferenced, so
+    // a long-lived session composing operators never accumulates CC outputs
+    val out = allNodes
+      .join(roots.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint(true)
+    allNodes.unpersist(); fin.unpersist(); e0.unpersist()
+    (out, iter, nEdges)
+  }
+
+  /** Cluster mapping for NON-ROOT edge nodes only: (id, cluster_id) for
+    * every node that is not its component's minimum. Roots and isolated
+    * nodes are ABSENT — the pipeline's members join is a left join +
+    * `coalesce(cluster_id, id)`, which maps them to themselves anyway, so
+    * the `allNodes` union-distinct, its count barrier, and the final
+    * node-universe join that `run` pays are pure overhead there (three of
+    * the flat per-run jobs the scaling decomposition charged to CC). */
+  def runMapping(edges: DataFrame, maxIter: Int = 50,
+                 roundsPerJob: Int = 2): DataFrame = {
+    val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val (fin, _, _) = converge(e0, maxIter, roundsPerJob)
+    val out = fin.groupBy("src").agg(min("dst").as("cluster_id"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint(true)
+    fin.unpersist(); e0.unpersist()
+    out
+  }
+
+  /** The alternating-rounds loop: iterate from persisted `e0` until the
+    * edge set is stable; returns the persisted final frame (src > dst,
+    * star-shaped), the round count, and the final edge count. Intermediate
+    * frames (including `e0` once replaced) are unpersisted here. */
+  private def converge(e0: DataFrame, maxIter: Int,
+                       roundsPerJob: Int): (DataFrame, Int, Long) = {
+    var e = e0
 
     // ONE alternating large-star + small-star round (lazy plan):
     //   large star: for every node u, attach all neighbors v > u to the
@@ -112,18 +155,6 @@ object ConnectedComponents {
       prevSig = newSig
       iter += r
     }
-    // components: every node that appears as src points at its root (dst);
-    // roots themselves and isolated nodes map to themselves.
-    val roots = e.groupBy("src").agg(min("dst").as("cluster_id"))
-    // sealed output: eager localCheckpoint materializes the mapping (one
-    // pass, same cost the old persist+count paid) but lives OUTSIDE the SQL
-    // cache manager — reclaimed by the ContextCleaner once unreferenced, so
-    // a long-lived session composing operators never accumulates CC outputs
-    val out = allNodes
-      .join(roots.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
-    allNodes.unpersist(); e.unpersist(); e0.unpersist()
-    (out, iter, prevSig._1)
+    (e, iter, prevSig._1)
   }
 }

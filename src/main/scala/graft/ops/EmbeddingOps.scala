@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.util.CacheScope
@@ -23,6 +22,33 @@ object EmbeddingOps {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Fused JVM dot product over quantized vectors — value-identical to
+    * `dotQ` (plain long multiply-add, no float rounding) but one tight loop
+    * instead of an interpreted `zip_with` + `aggregate` HOF pair that
+    * allocates an intermediate array per evaluated row (the measured cost
+    * that motivated Keys.shingleLshUdf). Hot pair-scoring paths use this;
+    * `dotQ` remains the Column form the oracle SQL mirrors. */
+  private val dotQJvm = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val n = math.min(a.length, b.length)
+    var acc = 0L; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Single-aggregate top-1: max `dot_q`, ties to the smallest `nn_id` —
+    * `min_by` over the ordering struct (−dot, nn_id) with map-side partial
+    * combine. Replaces dropDuplicates + window row_number (two full
+    * shuffles + a sort of the pair set) with ONE hash aggregate; duplicate
+    * candidate pairs (one per shared LSH table) carry identical dot values,
+    * so folding them through the aggregate is semantics-free. */
+  private def top1(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("nn_id"), col("dot_q")),
+                  struct((-col("dot_q")).as("_nd"), col("nn_id"))).as("_top"))
+      .select(col("vec_id"), col("_top.nn_id").as("nn_id"),
+              col("_top.dot_q").as("dot_q"))
+
   /** Brute-force top-1 neighbor per vector, blocked by an exact partition
     * column (label): never a global cartesian — within-block join + window
     * argmax. Output (vec_id, nn_id, dot_q). Ties broken by smaller nn_id. */
@@ -34,10 +60,8 @@ object EmbeddingOps {
     val pairs = q.select(col("vec_id"), col("label"), col("q"))
       .join(q.select(col("vec_id").as("nn_id"), col("label"), col("q").as("q2")), "label")
       .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"), dotQ(col("q"), col("q2")).as("dot_q"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dot_q").desc, col("nn_id").asc)
-    pairs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select("vec_id", "nn_id", "dot_q")
+      .select(col("vec_id"), col("nn_id"), dotQJvm(col("q"), col("q2")).as("dot_q"))
+    top1(pairs)
   }
 
   /** Embedding-cosine near-duplicate pairs: within-label blocked join,
@@ -53,7 +77,7 @@ object EmbeddingOps {
     q.select(col("id").as("id1"), col("label"), col("q").as("q1"))
       .join(q.select(col("id").as("id2"), col("label"), col("q").as("q2")), "label")
       .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dotQ(col("q1"), col("q2")).as("dot_q"))
+      .select(col("id1"), col("id2"), dotQJvm(col("q1"), col("q2")).as("dot_q"))
       .where(col("dot_q") >= tauQ)
   }
 
@@ -153,14 +177,13 @@ object EmbeddingOps {
         pmod(xxhash64(col("table_id"), col("bucket"), col("vec_id")), col("_g"))
           .cast("int"))
       .select(col("table_id"), col("bucket"), col("_salt"), col("vec_id"), col("q"))
+    // score on the way into ONE hash aggregate: a pair seen from k shared
+    // tables re-scores k times map-side (cheap fused loop) but never costs
+    // a dedup shuffle; the aggregate's partial combine collapses them.
     val pairs = probe
       .join(index, bucketKey :+ "_salt")
       .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"), col("q"), col("q2"))
-      .dropDuplicates("vec_id", "nn_id") // a pair sharing k tables scores once
-      .select(col("vec_id"), col("nn_id"), dotQ(col("q"), col("q2")).as("dot_q"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dot_q").desc, col("nn_id").asc)
-    pairs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
-      .select("vec_id", "nn_id", "dot_q")
+      .select(col("vec_id"), col("nn_id"), dotQJvm(col("q"), col("q2")).as("dot_q"))
+    top1(pairs)
   }
 }

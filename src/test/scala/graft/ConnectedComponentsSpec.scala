@@ -53,6 +53,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.get(7L).forall(_ == 7L)) // isolated or absent (caller coalesces)
   }
 
+  test("runMapping equals run minus self-mappings (pipeline contract)") {
+    val rng = new scala.util.Random(1717L)
+    val n = 50
+    val es = Seq.fill(90)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+    val df = es.toDF("src", "dst")
+    val full = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    val mapping = ConnectedComponents.runMapping(df).as[(Long, Long)].collect().toMap
+    // mapping holds exactly the non-root rows of the full output…
+    assert(mapping == full.filter { case (id, c) => id != c })
+    // …so left-join + coalesce(id) over any node set reconstructs `run`
+    assert(full.forall { case (id, c) => mapping.getOrElse(id, id) == c })
+  }
+
   test("random graphs match union-find oracle (seeded property test)") {
     val rng = new scala.util.Random(4242L)
     for (_ <- 1 to 4) { // each case is a full distributed CC run
