@@ -43,6 +43,30 @@ import graft.schema.DedupConfig
   * BASELINE.md.
   */
 object ScalingBench {
+
+  /** Aggregated task metrics for one timed window — distinguishes the two
+    * failure modes a low efficiency can hide: idle cores (Σ task run time ≪
+    * cores × wall → driver latency / barriers / insufficient parallel
+    * slack) vs inflated task time (run time scales with wall but each task
+    * slower → memory-bandwidth contention or co-tenant steal). */
+  private[graft] final class UtilListener extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        tasks.incrementAndGet()
+      }
+    }
+    def snapshot: (Long, Long, Long, Long) =
+      (runMs.get, cpuNs.get, gcMs.get, tasks.get)
+  }
+
   private[graft] def pinCpus(cores: Int): Unit = {
     val pid = ProcessHandle.current().pid()
     // taskset -a walks /proc/<pid>/task and fails if ANY thread exits while
@@ -110,7 +134,10 @@ object ScalingBench {
       }
     }
 
-    def runAt(cores: Int): (Long, Double) = {
+    /** One leg: (nImages, best wall sec, utilization, cpu fraction,
+      * gc fraction) — utilization/cpu/gc come from the SAME repeat that won
+      * the min, so the reported triple is internally consistent. */
+    def runAt(cores: Int): (Long, Double, Double, Double, Double) = {
       pinCpus(cores)
       val spark = session(cores)
       try {
@@ -121,23 +148,36 @@ object ScalingBench {
         spark.catalog.clearCache()
         System.err.println(f"[scale] local[$cores] warmup done in ${(System.nanoTime() - tw0) / 1e9}%.1f s")
         val nImages = spark.read.parquet(corpusPath).count()
+        val listener = new UtilListener
+        spark.sparkContext.addSparkListener(listener)
         // min over repeats: co-tenant interference on this box produces
         // multi-× wall-clock outliers; the minimum is the least-contended
         // sample of the same deterministic work
-        val secs = (1 to repeats).map { i =>
+        val runs = (1 to repeats).map { i =>
+          val (r0, c0, g0, _) = listener.snapshot
           val t0 = System.nanoTime()
           val n = Dedup.run(spark.read.parquet(corpusPath), DedupConfig()).count()
           val sec = (System.nanoTime() - t0) / 1e9
           require(n == nImages, s"actions $n != input $nImages")
-          System.err.println(f"[scale] local[$cores] run $i: $sec%.1f s")
+          // listener events drain asynchronously after the last task ends
+          // (the bus's waitUntilEmpty is private[spark]; a short sleep
+          // after the blocking count() is ample for end-of-run stragglers)
+          Thread.sleep(2000)
+          val (r1, c1, g1, _) = listener.snapshot
+          val util = (r1 - r0) / 1e3 / (cores * sec)
+          val cpuFrac = if (r1 == r0) 0.0 else (c1 - c0) / 1e6 / (r1 - r0)
+          val gcFrac = if (r1 == r0) 0.0 else (g1 - g0).toDouble / (r1 - r0)
+          System.err.println(
+            f"[scale] local[$cores] run $i: $sec%.1f s  util=$util%.2f cpu=$cpuFrac%.2f gc=$gcFrac%.2f")
           // drop this run's persisted intermediates + let ContextCleaner
           // reclaim shuffle files before the next repeat
           spark.catalog.clearCache()
           System.gc()
           Thread.sleep(3000)
-          sec
+          (sec, util, cpuFrac, gcFrac)
         }
-        (nImages, secs.min)
+        val best = runs.minBy(_._1)
+        (nImages, best._1, best._2, best._3, best._4)
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -150,19 +190,28 @@ object ScalingBench {
     val legs = sys.env.getOrElse("SCALE_LEGS", "8,32")
       .split(",").map(_.trim.toInt).toSeq.sorted
     val results = legs.map(c => c -> runAt(c))
-    val line =
+    require(results.map(_._2._1).distinct.size == 1, "legs saw different inputs")
+    val n = results.head._2._1
+    val legsJson = results.map { case (c, (_, t, util, cpu, gc)) =>
+      f"""{"cores":$c,"sec":$t%.2f,"imgs_per_sec":${n / t}%.1f,""" +
+      f""""utilization":$util%.3f,"cpu_frac":$cpu%.3f,"gc_frac":$gc%.3f}"""
+    }.mkString("[", ",", "]")
+    // efficiency for every measured pair: (T_small / T_big) / (big/small)
+    val pairsJson = results.combinations(2).map {
+      case Seq((c1, (_, t1, _, _, _)), (c2, (_, t2, _, _, _))) =>
+        f""""eff_${c1}_to_$c2":${(t1 / t2) / (c2.toDouble / c1)}%.3f"""
+    }.mkString(",")
+    // legacy 2-leg keys (BASELINE.md history) + the general form
+    val legacy =
       if (results.size == 2) {
-        val Seq((c1, (n1, t1)), (c2, (n2, t2))) = results
-        require(n1 == n2)
-        val ratio = c2.toDouble / c1
-        val eff = (t1 / t2) / ratio
-        f"""{"metric":"scaling","n_images":$n1,"local${c1}_sec":$t1%.2f,"local${c2}_sec":$t2%.2f,""" +
-        f""""imgs_per_sec_$c1":${n1 / t1}%.1f,"imgs_per_sec_$c2":${n2 / t2}%.1f,"scaling_efficiency":$eff%.3f}"""
-      } else {
-        results.map { case (c, (n, t)) =>
-          f"""{"metric":"scaling_leg","cores":$c,"n_images":$n,"sec":$t%.2f,"imgs_per_sec":${n / t}%.1f}"""
-        }.mkString("\n")
-      }
+        val Seq((c1, (_, t1, _, _, _)), (c2, (_, t2, _, _, _))) = results
+        f""""local${c1}_sec":$t1%.2f,"local${c2}_sec":$t2%.2f,""" +
+        f""""imgs_per_sec_$c1":${n / t1}%.1f,"imgs_per_sec_$c2":${n / t2}%.1f,""" +
+        f""""scaling_efficiency":${(t1 / t2) / (c2.toDouble / c1)}%.3f,"""
+      } else ""
+    val line =
+      f"""{"metric":"scaling","n_images":$n,""" + legacy +
+        f""""legs":$legsJson,$pairsJson}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SCALE_OUT", "SCALE_LINE.json")),
