@@ -351,7 +351,12 @@ object Candidates {
       .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(cfg.shingleK)(col("_nc")))
       .where(size(col("_sh")) > 0))
-    val exploded = norm.select(col(idCol), col("_nc"), explode(col("_sh")).as("block"))
+    // ship (id, text-LENGTH, block) — never the text itself: the exploded
+    // frame is ~shingles×docs rows and feeds the df join + argmin shuffle;
+    // carrying the string payload there was measured at 3.6 GB shuffled for
+    // 1M captions vs ~0.7 GB for the 30 B/row slim form (ScaleDiag r3)
+    val exploded = norm.select(col(idCol), length(col("_nc")).as("_len"),
+                               explode(col("_sh")).as("block"))
     // global shingle document frequency (partial-agg shuffle, skew-free),
     // then per-doc argmin by (df, shingle) — deterministic block choice.
     // min_by, NOT a row_number window: the hash aggregate map-side-combines
@@ -360,7 +365,7 @@ object Candidates {
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
     val short = exploded.join(freq, "block")
       .groupBy(col(idCol))
-      .agg(min_by(struct(col("block"), length(col("_nc")).as("_len")),
+      .agg(min_by(struct(col("block"), col("_len")),
                   struct(col("_df"), col("block"))).as("_pick"))
       .select(col(idCol).as("sid"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))

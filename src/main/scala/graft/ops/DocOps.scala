@@ -93,7 +93,10 @@ object DocOps {
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(k)(col("_nc")))
       .where(size(col("_sh")) > 0))
-    val exploded = norm.select(col("doc_id"), col("_nc"), explode(col("_sh")).as("block"))
+    // ship (id, text-LENGTH, block) — never the text: see
+    // Candidates.containmentEdgesIn (3.6 GB → ~0.7 GB shuffle at 1M docs)
+    val exploded = norm.select(col("doc_id"), length(col("_nc")).as("_len"),
+                               explode(col("_sh")).as("block"))
     // global shingle document frequency (partial-agg shuffle, skew-free),
     // then per-doc argmin by (df, shingle) — deterministic block choice.
     // min_by, NOT a row_number window: the hash aggregate map-side-combines
@@ -102,7 +105,7 @@ object DocOps {
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
     val short = exploded.join(freq, "block")
       .groupBy(col("doc_id"))
-      .agg(min_by(struct(col("block"), length(col("_nc")).as("_len")),
+      .agg(min_by(struct(col("block"), col("_len")),
                   struct(col("_df"), col("block"))).as("_pick"))
       .select(col("doc_id").as("short_id"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))
