@@ -75,22 +75,29 @@ object Dedup {
     })
     def srcMetrics(name: String, m: DataFrame): DataFrame =
       m.select(lit(name).as("source"), col("salted_buckets"), col("salt_groups"))
+    // each source tags its jobs (thread-local; SQLExecution propagates it
+    // into AQE stage-materialization jobs) so listeners/UIs can attribute
+    // every stage to its candidate source
+    def tagged[A](name: String)(body: => A): A = {
+      spark.sparkContext.setJobDescription(s"graft:source:$name")
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
     val tasks: Seq[Future[(DataFrame, Option[DataFrame])]] = Seq(
-      Future {
+      Future { tagged("exact") {
         (Candidates.exactEdges(keyed, "image_id", "key").localCheckpoint(true), None)
-      }) ++
-      (if (cfg.enableCaptionLsh) Seq(Future {
+      }}) ++
+      (if (cfg.enableCaptionLsh) Seq(Future { tagged("caption_lsh") {
         val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
-      }) else Nil) ++
-      (if (cfg.enablePhashHamming) Seq(Future {
+      }}) else Nil) ++
+      (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
         val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("phash_hamming", m)))
-      }) else Nil) ++
-      (if (cfg.enableContainment) Seq(Future {
+      }}) else Nil) ++
+      (if (cfg.enableContainment) Seq(Future { tagged("containment") {
         // containmentEdges is already sealed (eager) by its CacheScope
         (Candidates.containmentEdges(df, "image_id", "caption", cfg.near), None)
-      }) else Nil)
+      }}) else Nil)
     val results = Await.result(Future.sequence(tasks), Duration.Inf)
     val edges = results.map(_._1).reduce(_ unionByName _)
     val metrics = results.flatMap(_._2).foldLeft(

@@ -29,7 +29,7 @@ object ScaleDiag {
       .appName(s"graft-diag-$cores")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.local.dir", s"$shmRoot/shuffle")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.broadcastTimeout", "3600")
@@ -42,7 +42,14 @@ object ScaleDiag {
 
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
     val names = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageComp = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.startsWith("graft:")).getOrElse("untagged")
+        j.stageIds.foreach(sid => stageComp.put(sid, desc))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
@@ -57,16 +64,50 @@ object ScaleDiag {
           }
         }
       }
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
-        names.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n'))
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        // jobs submitted from the concurrent candidate-source futures get a
+        // CompletableFuture call site; the engine frame is in the long form
+        val engine = s.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("ScaleDiag"))
+          .map(_.trim.stripPrefix("at ").takeWhile(_ != ')') + ")")
+        names.put(s.stageInfo.stageId,
+          engine.getOrElse(s.stageInfo.name.takeWhile(_ != '\n')))
+      }
     })
 
+    def procStat(): Array[Long] =
+      scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+    val st0 = procStat()
     val t0 = System.nanoTime()
     val n = Dedup.run(spark.read.parquet(corpusPath), DedupConfig()).count()
     val wall = (System.nanoTime() - t0) / 1e9
+    val st1 = procStat()
+    val d = st1.zip(st0).map { case (a, b) => a - b }
+    val tot = d.sum.toDouble
+    // user nice sys idle iowait irq softirq steal
+    println(f"[diag] box: user=${d(0) / tot}%.2f sys=${d(2) / tot}%.2f " +
+      f"idle=${d(3) / tot}%.2f steal=${d(7) / tot}%.2f (whole-box, whole-run)")
     Thread.sleep(2000)
 
     import scala.jdk.CollectionConverters._
+    // per-component rollup (job-description tags set by the engine)
+    val comps = stages.asScala.toSeq
+      .groupBy { case (id, _) => stageComp.getOrDefault(id, "untagged") }
+      .map { case (comp, ss) =>
+        val t = Agg()
+        ss.foreach { case (_, a) =>
+          t.tasks += a.tasks; t.runMs += a.runMs; t.cpuNs += a.cpuNs
+          t.gcMs += a.gcMs; t.shufReadB += a.shufReadB
+          t.shufWriteB += a.shufWriteB; t.spillB += a.spillB; t.inputB += a.inputB
+        }
+        comp -> t
+      }.toSeq.sortBy(-_._2.cpuNs)
+    println(f"[diag] ${"component"}%-24s ${"tasks"}%6s ${"run_s"}%8s ${"cpu_s"}%8s ${"gc_s"}%6s ${"in_MB"}%8s ${"shR_MB"}%8s ${"shW_MB"}%8s")
+    comps.foreach { case (c, a) =>
+      println(f"[diag] $c%-24s ${a.tasks}%6d ${a.runMs / 1e3}%8.1f ${a.cpuNs / 1e9}%8.1f ${a.gcMs / 1e3}%6.1f " +
+        f"${a.inputB / 1e6}%8.0f ${a.shufReadB / 1e6}%8.0f ${a.shufWriteB / 1e6}%8.0f")
+    }
     val rows = stages.asScala.toSeq.sortBy(-_._2.cpuNs)
     val totCpu = rows.map(_._2.cpuNs).sum / 1e9
     val totRun = rows.map(_._2.runMs).sum / 1e3

@@ -36,8 +36,12 @@ import graft.schema.DedupConfig
   *   - AQE ON for both legs (production default; the probe-expansion joins
   *     produce intermediates whose static size estimates are garbage —
   *     measured: a 10k-cluster warmup exceeded 9 min AQE-off vs 57 s
-  *     AQE-on). Partition coalescing stays off so each leg keeps its
-  *     configured parallelism.
+  *     AQE-on). Partition coalescing is ON (production default, same policy
+  *     at both legs): the CC iterations shuffle ~tens of MB across 2×cores
+  *     partitions, and un-coalesced 300 KB tasks were measured 75% blocked
+  *     on launch/fetch overhead — coalescing only ever merges below the
+  *     64 MB advisory size, so the wide data-bearing stages keep each leg's
+  *     full parallelism.
   *
   * Output: one JSON line (stdout + SCALE_OUT file), recorded in
   * BASELINE.md.
@@ -100,6 +104,17 @@ object ScalingBench {
     // the standard sizing on real clusters.
     val partMult = sys.env.getOrElse("SCALE_PART_MULT", "2").toInt
 
+    // Scan splits must outnumber the widest leg by several waves. A 100 TB
+    // input is ~800k parquet splits — parallelism there is never limited by
+    // file count — but a single-box corpus written at defaultParallelism is
+    // ~33 single-row-group files, and a row group is the minimum split: the
+    // 32-core leg's scan (and every pre-shuffle stage inheriting it — the
+    // per-image decode/hash UDFs, the hottest CPU in the job) ran as 32+1
+    // tasks, one full wave plus a straggler wave, capping 8→32 efficiency
+    // at ~0.5 before any shuffle happened. Write many small files and cap
+    // maxPartitionBytes so both legs see every file as its own split.
+    val scanFiles = sys.env.getOrElse("SCALE_SCAN_FILES", "256").toInt
+
     def session(cores: Int): SparkSession = {
       val spark = SparkSession.builder()
         .master(s"local[$cores]")
@@ -107,8 +122,12 @@ object ScalingBench {
         .config("spark.sql.shuffle.partitions", (cores * partMult).toString)
         .config("spark.sql.adaptive.enabled",
                 sys.env.getOrElse("SCALE_AQE", "true"))
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                sys.env.getOrElse("SCALE_AQE_COALESCE", "true"))
         .config("spark.local.dir", s"$shmRoot/shuffle")
+        // one split per corpus file (files are ~2-4 MB; any file alone
+        // exceeds this budget, so none are packed together)
+        .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
         .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
         .config("spark.sql.broadcastTimeout", "3600") // large-corpus builds
         .config("spark.ui.enabled", "false")
@@ -127,6 +146,7 @@ object ScalingBench {
       val spark = session(32)
       try {
         Corpus.generate(spark, nClusters, skew).toDF()
+          .repartition(scanFiles)
           .write.mode("overwrite").parquet(corpusPath)
       } finally {
         spark.stop()
@@ -134,50 +154,60 @@ object ScalingBench {
       }
     }
 
-    /** One leg: (nImages, best wall sec, utilization, cpu fraction,
-      * gc fraction) — utilization/cpu/gc come from the SAME repeat that won
-      * the min, so the reported triple is internally consistent. */
-    def runAt(cores: Int): (Long, Double, Double, Double, Double) = {
+    /** Whole-box CPU ticks from /proc/stat (user nice sys idle iowait irq
+      * softirq steal ...) — the steal/sys fractions of a repeat's window
+      * tell whether its wall-clock is trustworthy: this box is a co-tenanted
+      * VM and hypervisor steal varies 0-25% across hours. */
+    def procStat(): Array[Long] =
+      scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+
+    final case class Run(sec: Double, util: Double, cpuFrac: Double,
+                         gcFrac: Double, steal: Double, sys: Double)
+
+    val warmed = scala.collection.mutable.Set.empty[Int]
+
+    /** One timed execution of the flagship at `cores` (fresh session; JIT
+      * state persists in the JVM across sessions, so the per-leg warmup
+      * runs only on the leg's first round). */
+    def runOnce(cores: Int): (Long, Run) = {
       pinCpus(cores)
       val spark = session(cores)
       try {
-        // JIT/codegen warmup: same plan shape, 1/10 of the data
-        val tw0 = System.nanoTime()
-        Dedup.run(Corpus.generate(spark, math.max(nClusters / 10, 50),
-          skew / 10).toDF(), DedupConfig()).count()
-        spark.catalog.clearCache()
-        System.err.println(f"[scale] local[$cores] warmup done in ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+        if (!warmed.add(cores)) () // JVM already hot for this leg
+        else {
+          // JIT/codegen warmup: same plan shape, 1/10 of the data
+          val tw0 = System.nanoTime()
+          Dedup.run(Corpus.generate(spark, math.max(nClusters / 10, 50),
+            skew / 10).toDF(), DedupConfig()).count()
+          spark.catalog.clearCache()
+          System.err.println(f"[scale] local[$cores] warmup done in ${(System.nanoTime() - tw0) / 1e9}%.1f s")
+        }
         val nImages = spark.read.parquet(corpusPath).count()
         val listener = new UtilListener
         spark.sparkContext.addSparkListener(listener)
-        // min over repeats: co-tenant interference on this box produces
-        // multi-× wall-clock outliers; the minimum is the least-contended
-        // sample of the same deterministic work
-        val runs = (1 to repeats).map { i =>
-          val (r0, c0, g0, _) = listener.snapshot
-          val t0 = System.nanoTime()
-          val n = Dedup.run(spark.read.parquet(corpusPath), DedupConfig()).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          require(n == nImages, s"actions $n != input $nImages")
-          // listener events drain asynchronously after the last task ends
-          // (the bus's waitUntilEmpty is private[spark]; a short sleep
-          // after the blocking count() is ample for end-of-run stragglers)
-          Thread.sleep(2000)
-          val (r1, c1, g1, _) = listener.snapshot
-          val util = (r1 - r0) / 1e3 / (cores * sec)
-          val cpuFrac = if (r1 == r0) 0.0 else (c1 - c0) / 1e6 / (r1 - r0)
-          val gcFrac = if (r1 == r0) 0.0 else (g1 - g0).toDouble / (r1 - r0)
-          System.err.println(
-            f"[scale] local[$cores] run $i: $sec%.1f s  util=$util%.2f cpu=$cpuFrac%.2f gc=$gcFrac%.2f")
-          // drop this run's persisted intermediates + let ContextCleaner
-          // reclaim shuffle files before the next repeat
-          spark.catalog.clearCache()
-          System.gc()
-          Thread.sleep(3000)
-          (sec, util, cpuFrac, gcFrac)
-        }
-        val best = runs.minBy(_._1)
-        (nImages, best._1, best._2, best._3, best._4)
+        val (r0, c0, g0, _) = listener.snapshot
+        val s0 = procStat()
+        val t0 = System.nanoTime()
+        val n = Dedup.run(spark.read.parquet(corpusPath), DedupConfig()).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val s1 = procStat()
+        require(n == nImages, s"actions $n != input $nImages")
+        // listener events drain asynchronously after the last task ends
+        // (the bus's waitUntilEmpty is private[spark]; a short sleep
+        // after the blocking count() is ample for end-of-run stragglers)
+        Thread.sleep(2000)
+        val (r1, c1, g1, _) = listener.snapshot
+        val util = (r1 - r0) / 1e3 / (cores * sec)
+        val cpuFrac = if (r1 == r0) 0.0 else (c1 - c0) / 1e6 / (r1 - r0)
+        val gcFrac = if (r1 == r0) 0.0 else (g1 - g0).toDouble / (r1 - r0)
+        val d = s1.zip(s0).map { case (a, b) => a - b }
+        val tot = math.max(1L, d.sum).toDouble
+        val run = Run(sec, util, cpuFrac, gcFrac, d(7) / tot, d(2) / tot)
+        System.err.println(
+          f"[scale] local[$cores]: $sec%.1f s  util=$util%.2f cpu=$cpuFrac%.2f " +
+          f"gc=$gcFrac%.2f steal=${run.steal}%.2f sys=${run.sys}%.2f")
+        (nImages, run)
       } finally {
         spark.stop()
         SparkSession.clearActiveSession()
@@ -189,22 +219,35 @@ object ScalingBench {
     // re-run alone against the same tmpfs corpus via SCALE_SKIP_GEN).
     val legs = sys.env.getOrElse("SCALE_LEGS", "8,32")
       .split(",").map(_.trim.toInt).toSeq.sorted
-    val results = legs.map(c => c -> runAt(c))
+    // Legs INTERLEAVED round-robin (8,32,8,32,...), min per leg across
+    // rounds: hypervisor steal on this box drifts on a minutes scale, and
+    // running all of one leg's repeats before the other leg means a drift
+    // mid-probe lands entirely on one side of the ratio. Interleaving gives
+    // every leg a sample in every co-tenant regime.
+    val samples = scala.collection.mutable.Map.empty[Int, List[(Long, Run)]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to repeats; c <- legs) samples(c) ::= runOnce(c)
+    val results: Seq[(Int, (Long, Double, Double, Double, Double, Double, Double))] =
+      legs.map { c =>
+        val (n, best) = samples(c).minBy(_._2.sec)
+        c -> ((n, best.sec, best.util, best.cpuFrac, best.gcFrac, best.steal, best.sys))
+      }
     require(results.map(_._2._1).distinct.size == 1, "legs saw different inputs")
     val n = results.head._2._1
-    val legsJson = results.map { case (c, (_, t, util, cpu, gc)) =>
+    val legsJson = results.map { case (c, (_, t, util, cpu, gc, steal, sysF)) =>
       f"""{"cores":$c,"sec":$t%.2f,"imgs_per_sec":${n / t}%.1f,""" +
-      f""""utilization":$util%.3f,"cpu_frac":$cpu%.3f,"gc_frac":$gc%.3f}"""
+      f""""utilization":$util%.3f,"cpu_frac":$cpu%.3f,"gc_frac":$gc%.3f,""" +
+      f""""steal_frac":$steal%.3f,"sys_frac":$sysF%.3f}"""
     }.mkString("[", ",", "]")
     // efficiency for every measured pair: (T_small / T_big) / (big/small)
     val pairsJson = results.combinations(2).map {
-      case Seq((c1, (_, t1, _, _, _)), (c2, (_, t2, _, _, _))) =>
+      case Seq((c1, (_, t1, _, _, _, _, _)), (c2, (_, t2, _, _, _, _, _))) =>
         f""""eff_${c1}_to_$c2":${(t1 / t2) / (c2.toDouble / c1)}%.3f"""
     }.mkString(",")
     // legacy 2-leg keys (BASELINE.md history) + the general form
     val legacy =
       if (results.size == 2) {
-        val Seq((c1, (_, t1, _, _, _)), (c2, (_, t2, _, _, _))) = results
+        val Seq((c1, (_, t1, _, _, _, _, _)), (c2, (_, t2, _, _, _, _, _))) = results
         f""""local${c1}_sec":$t1%.2f,"local${c2}_sec":$t2%.2f,""" +
         f""""imgs_per_sec_$c1":${n / t1}%.1f,"imgs_per_sec_$c2":${n / t2}%.1f,""" +
         f""""scaling_efficiency":${(t1 / t2) / (c2.toDouble / c1)}%.3f,"""

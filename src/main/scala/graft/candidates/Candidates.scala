@@ -97,7 +97,7 @@ object Candidates {
     // the exploded frame — when the caller's (keyCols, id) rows are unique
     // by construction (e.g. posexplode of a per-row band array).
     val base = keyed.select((keyCols :+ idCol).map(col): _*)
-    val rows = scope.persist(if (assumeDistinct) base else base.distinct())
+    val rows = scope.persistEager(if (assumeDistinct) base else base.distinct())
     val sizes = rows.groupBy(ks: _*).agg(count(lit(1)).as("_bsz"))
     val oversized = sizes.where(col("_bsz") > cap)
       .withColumn("_nsalt", ceil(col("_bsz").cast("double") / cap).cast("int"))
@@ -196,7 +196,7 @@ object Candidates {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val norm = df.select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
     val repW = Window.partitionBy(col("_nc"))
-    val withRep = scope.persist(norm.withColumn("_rep", min(idCol).over(repW)))
+    val withRep = scope.persistEager(norm.withColumn("_rep", min(idCol).over(repW)))
     val members = withRep.select(col(idCol).as("id"), col("_rep").as("rep"))
     // ONE fused JVM pass per rep computes the distinct shingle hashes AND
     // the LSH band hashes (Keys.shingleLshUdf): shingling via the
@@ -207,7 +207,7 @@ object Candidates {
     // Jaccard unless two distinct shingles of one compared pair collide in
     // 64 bits (~1e-19 per pair).
     val sbUdf = Keys.shingleLshUdf(cfg.shingleK, cfg.lshBands, cfg.lshRowsPerBand)
-    val shingled = scope.persist(withRep.where(col(idCol) === col("_rep"))
+    val shingled = scope.persistEager(withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), sbUdf(col("_nc")).as("_sb"))
       .where(size(col("_sb._1")) > 0)
       .select(col(idCol), col("_sb._1").as("_shh"), col("_sb._2").as("_bands")))
@@ -217,10 +217,14 @@ object Candidates {
     val (cand, metrics) = pairsWithinBucketsIn(
       exploded, idCol, Seq("band_id", "band_hash"), cfg.maxBucketSize,
       "caption_lsh", pairComplete, assumeDistinct = true)(scope)
-    // verify: join hashed shingle sets back, exact Jaccard (integer-exact)
+    // verify: join hashed shingle sets back, exact Jaccard (integer-exact).
+    // SHUFFLE_HASH: sort-merge would SORT the array-payload shingle frame
+    // twice; hash-building it per partition is cheap and unsorted.
     val verified = cand
-      .join(shingled.select(col(idCol).as("id1"), col("_shh").as("_sh1")), "id1")
-      .join(shingled.select(col(idCol).as("id2"), col("_shh").as("_sh2")), "id2")
+      .join(shingled.select(col(idCol).as("id1"), col("_shh").as("_sh1"))
+                    .hint("SHUFFLE_HASH"), "id1")
+      .join(shingled.select(col(idCol).as("id2"), col("_shh").as("_sh2"))
+                    .hint("SHUFFLE_HASH"), "id2")
     val (inter, union) = Keys.jaccardInterUnion(col("_sh1"), col("_sh2"))
     val thresholdPct = math.round(cfg.jaccardThreshold * 100).toInt
     val repPairs = verified
@@ -273,33 +277,81 @@ object Candidates {
     * values are AQE skew-join territory. Input `df(idCol, hashCol)`;
     * output (id1, id2, hamming_d) with id1 < id2, distinct. */
   def multiIndexHammingPairs(df: DataFrame, idCol: String, hashCol: String,
-                             bands: Int, subRadius: Int, radius: Int): DataFrame =
-    CacheScope.seal(
-      multiIndexHammingPairsIn(df, idCol, hashCol, bands, subRadius, radius)(_))
+                             bands: Int, subRadius: Int, radius: Int,
+                             dfCap: Int = 256): DataFrame =
+    multiIndexHammingPairsWithStats(df, idCol, hashCol, bands, subRadius,
+      radius, dfCap)._1
 
-  /** Lazy body of `multiIndexHammingPairs` — see `pairsWithinBucketsIn`. */
+  /** As `multiIndexHammingPairs`, plus a 1-row metrics frame
+    * (salted_buckets = hot band buckets dropped by `dfCap`,
+    * salt_groups = index rows those buckets held). */
+  def multiIndexHammingPairsWithStats(
+      df: DataFrame, idCol: String, hashCol: String,
+      bands: Int, subRadius: Int, radius: Int,
+      dfCap: Int = 256): (DataFrame, DataFrame) = {
+    val Seq(pairs, metrics) = CacheScope.sealMany { scope =>
+      val (p, m) = multiIndexHammingPairsIn(df, idCol, hashCol, bands,
+        subRadius, radius, dfCap)(scope)
+      Seq(p, m)
+    }
+    (pairs, metrics)
+  }
+
+  /** Lazy body of `multiIndexHammingPairs` — see `pairsWithinBucketsIn`.
+    *
+    * `dfCap` guards the quadratic: the probe join's cost is
+    * Σ over probe rows of the hit bucket's density, and a band value shared
+    * by more than `dfCap` hashes is a degenerate hash region that carries no
+    * discriminative signal (measured on the 1M-image corpus: the 0.6% of
+    * band buckets above 256 members held HALF of Σ df² — ~10⁹ join rows).
+    * Hot buckets are dropped from the INDEX side only (the PPJoin
+    * stop-shingle convention; the drop is counted and surfaced by
+    * `phashHammingEdges` metrics): every hash still probes all its keys,
+    * both orientations of a pair are probed, so a qualifying pair is lost
+    * only if EVERY band bucket within flip distance of either side is hot.
+    * Recall against planted re-encode near-dups is asserted ≥ 0.99 by
+    * RecallSpec. */
   private[graft] def multiIndexHammingPairsIn(
       df: DataFrame, idCol: String, hashCol: String,
-      bands: Int, subRadius: Int, radius: Int)(scope: CacheScope): DataFrame = {
+      bands: Int, subRadius: Int, radius: Int,
+      dfCap: Int = 256)(scope: CacheScope): (DataFrame, DataFrame) = {
     require(bands * (subRadius + 1) - 1 >= radius,
       s"multi-index guarantee ${bands * (subRadius + 1) - 1} below radius $radius")
-    val indexed = scope.persist(df.select(col(idCol), col(hashCol),
+    val width = 64 / bands
+    // single packed join key (band_id ∥ band_val): one long compare/hash in
+    // the hot join instead of a two-column composite
+    val key = (shiftleft(col("band_id").cast("long"), width).bitwiseOR(col("band_val"))).as("_k")
+    val indexed = scope.persistEager(df.select(col(idCol), col(hashCol),
         posexplode(Keys.hammingBands(col(hashCol), bands))
-          .as(Seq("band_id", "band_val"))))
-    val masks = Keys.flipMasks(64 / bands, subRadius)
+          .as(Seq("band_id", "band_val")))
+      .select(col(idCol), col(hashCol), col("band_id"), col("band_val"), key))
+    val hot = indexed.groupBy("_k").agg(count(lit(1)).as("_df"))
+      .where(col("_df") > dfCap)
+    val cold = indexed.join(hot, Seq("_k"), "left_anti")
+    val masks = Keys.flipMasks(width, subRadius)
     val probe = indexed.select(col(idCol).as("_pid"), col(hashCol).as("_ph"),
         col("band_id"),
         explode(array(masks.map(m => col("band_val").bitwiseXOR(lit(m))): _*))
           .as("band_val"))
-    probe
-      .join(indexed.select(col(idCol).as("_iid"), col(hashCol).as("_ih"),
-                           col("band_id"), col("band_val")),
-            Seq("band_id", "band_val"))
+      .select(col("_pid"), col("_ph"),
+              (shiftleft(col("band_id").cast("long"), width).bitwiseOR(col("band_val"))).as("_k"))
+    val pairs = probe
+      // shuffled hash join: both sides are tens of millions of slim rows and
+      // the output is filtered to a trickle — the SMJ sort of the probe side
+      // was pure overhead
+      .join(cold.select(col(idCol).as("_iid"), col(hashCol).as("_ih"), col("_k"))
+                .hint("SHUFFLE_HASH"),
+            Seq("_k"))
       .where(col("_pid") < col("_iid") &&
              Keys.hammingDist(col("_ph"), col("_ih")) <= radius)
       .select(col("_pid").as("id1"), col("_iid").as("id2"),
               Keys.hammingDist(col("_ph"), col("_ih")).as("hamming_d"))
       .distinct()
+    // the logged truncation for the no-silent-caps rule (reads cached
+    // `indexed`; coalesce covers the no-hot-buckets empty aggregate)
+    val metrics = hot.agg(coalesce(count(lit(1)), lit(0L)).as("salted_buckets"),
+                          coalesce(sum(col("_df")), lit(0L)).as("salt_groups"))
+    (pairs, metrics)
   }
 
   /** pHash Hamming candidate edges: identical-phash collapse up front (the
@@ -310,8 +362,6 @@ object Candidates {
     * story. Returns (edges, metrics). */
   def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
                         cfg: NearDupConfig): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
-    import spark.implicits._
     // collapse identical phash first (same reasoning as captions)
     val repW = Window.partitionBy(col(phashCol))
     val withRep = df.select(col(idCol), col(phashCol))
@@ -320,10 +370,12 @@ object Candidates {
       .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
     val reps = withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), col(phashCol))
-    val edges = multiIndexHammingPairs(reps, idCol, phashCol,
-        cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius)
-      .select(col("id1"), col("id2"), lit("phash_hamming").as("kind"))
-    val metrics = Seq((0L, 0L)).toDF("salted_buckets", "salt_groups")
+    // metrics: hot band buckets dropped by the df cap + the index rows they
+    // held (no-silent-caps rule)
+    val (pairs, metrics) = multiIndexHammingPairsWithStats(reps, idCol, phashCol,
+        cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius,
+        cfg.hammingDfCap)
+    val edges = pairs.select(col("id1"), col("id2"), lit("phash_hamming").as("kind"))
     (edges.unionByName(samePhash), metrics)
   }
 
@@ -347,41 +399,53 @@ object Candidates {
     // Shingles are JVM-hashed longs (Keys.shingleHashUdf): block-key joins
     // and df counts are identity-equivalent on the 8-byte hash, and the
     // substring verify below uses the strings, never the shingles.
-    val norm = scope.persist(df
+    // EAGER: this frame feeds several downstream exchanges, and AQE
+    // materializes independent exchange subtrees concurrently — a lazy
+    // persist would be recomputed by each racing stage (see persistEager).
+    val norm = scope.persistEager(df
       .select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(cfg.shingleK)(col("_nc")))
       .where(size(col("_sh")) > 0))
     // ship (id, text-LENGTH, block) — never the text itself: the exploded
-    // frame is ~shingles×docs rows and feeds the df join + argmin shuffle;
+    // frame is ~shingles×docs rows and feeds the argmin and block joins;
     // carrying the string payload there was measured at 3.6 GB shuffled for
     // 1M captions vs ~0.7 GB for the 30 B/row slim form (ScaleDiag r3)
     val exploded = norm.select(col(idCol), length(col("_nc")).as("_len"),
                                explode(col("_sh")).as("block"))
-    // global shingle document frequency (partial-agg shuffle, skew-free),
-    // then per-doc argmin by (df, shingle) — deterministic block choice.
-    // min_by, NOT a row_number window: the hash aggregate map-side-combines
-    // each partition down to one row per doc before the shuffle, where a
-    // window must shuffle + sort the full ~(shingles×docs) exploded frame.
+    // Per-doc argmin by (document frequency, shingle) — deterministic,
+    // skew-safe block choice. Only blocks with df ≥ 2 can change the
+    // ordering (absent ⇒ df = 1, the minimum count() can produce), so the
+    // frequency table is filtered to repeated blocks BEFORE the join: it
+    // shrinks from |vocabulary| to |blocks shared by ≥2 docs| — on a
+    // near-dup-sparse corpus a tiny frame AQE turns into a broadcast, so
+    // the ~(shingles×docs) exploded frame is never shuffled by block for
+    // the df lookup (the old inner join against the full frequency table
+    // was the single largest shuffle in the flagship). min_by, NOT a
+    // row_number window: the hash aggregate map-side-combines each
+    // partition down to one row per doc before the (tiny) shuffle.
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
-    val short = exploded.join(freq, "block")
+      .where(col("_df") > 1)
+    val short = exploded.join(freq, Seq("block"), "left")
       .groupBy(col(idCol))
       .agg(min_by(struct(col("block"), col("_len")),
-                  struct(col("_df"), col("block"))).as("_pick"))
+                  struct(coalesce(col("_df"), lit(1L)), col("block"))).as("_pick"))
       .select(col(idCol).as("sid"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))
-    // the block join ships only (id, caption-length, block) — the caption
-    // STRINGS rejoin below for candidate pairs only, so the ~shingles×docs
-    // exploded shuffle carries ~45 B/row instead of the full text payload
-    val long = norm.select(col(idCol).as("lid"), length(col("_nc")).as("_llen"),
-                           explode(col("_sh")).as("block"))
+    // the long side IS the exploded frame (same rows, renamed) — a
+    // separate re-explode of `norm` here was a third full pass at 1M docs
+    val long = exploded.select(col(idCol).as("lid"), col("_len").as("_llen"),
+                               col("block"))
     // (sid, block) is unique (one chosen block/doc) and (lid, block) is
     // unique (array_distinct shingles), so the join emits each candidate
     // pair at most once — no pre-verify dedup needed
     short.join(long, "block")
       .where(col("sid") =!= col("lid") && col("_llen") > col("_slen"))
       .select("sid", "lid")
-      .join(norm.select(col(idCol).as("sid"), col("_nc").as("s_nc")), "sid")
-      .join(norm.select(col(idCol).as("lid"), col("_nc").as("l_nc")), "lid")
+      // SHUFFLE_HASH: avoid sort-merge sorting the string+array norm frame
+      .join(norm.select(col(idCol).as("sid"), col("_nc").as("s_nc"))
+                .hint("SHUFFLE_HASH"), "sid")
+      .join(norm.select(col(idCol).as("lid"), col("_nc").as("l_nc"))
+                .hint("SHUFFLE_HASH"), "lid")
       .where(instr(col("l_nc"), col("s_nc")) > 0)
       .select(least(col("sid"), col("lid")).as("id1"),
               greatest(col("sid"), col("lid")).as("id2"),

@@ -52,6 +52,14 @@ object ConnectedComponents {
     * count for at most one wasted round after convergence. */
   def runWithStats(edges: DataFrame, maxIter: Int = 50,
                    roundsPerJob: Int = 2): (DataFrame, Int, Long) = {
+    // tag every CC job for stage attribution (ScaleDiag, UIs)
+    edges.sparkSession.sparkContext.setJobDescription("graft:cc")
+    try runWithStatsIn(edges, maxIter, roundsPerJob)
+    finally edges.sparkSession.sparkContext.setJobDescription(null)
+  }
+
+  private def runWithStatsIn(edges: DataFrame, maxIter: Int,
+                             roundsPerJob: Int): (DataFrame, Int, Long) = {
     // normalize once and materialize: every downstream read (node universe +
     // first iteration) hits the persisted copy, never the caller's candidate
     // DAG twice
@@ -86,6 +94,13 @@ object ConnectedComponents {
     * the flat per-run jobs the scaling decomposition charged to CC). */
   def runMapping(edges: DataFrame, maxIter: Int = 50,
                  roundsPerJob: Int = 2): DataFrame = {
+    edges.sparkSession.sparkContext.setJobDescription("graft:cc")
+    try runMappingIn(edges, maxIter, roundsPerJob)
+    finally edges.sparkSession.sparkContext.setJobDescription(null)
+  }
+
+  private def runMappingIn(edges: DataFrame, maxIter: Int,
+                           roundsPerJob: Int): DataFrame = {
     val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val (fin, _, _) = converge(e0, maxIter, roundsPerJob)
     val out = fin.groupBy("src").agg(min("dst").as("cluster_id"))

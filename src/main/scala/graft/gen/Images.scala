@@ -13,6 +13,12 @@ import scala.util.Random
   * random noise would not survive lossy re-encoding.
   */
 object Images {
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates+deletes a temp file under java.io.tmpdir through a synchronized
+  // registry — 32 concurrent decode tasks serialize on it and pay syscalls
+  // per image. These images are ≤ a few KB; cache in memory.
+  ImageIO.setUseCache(false)
+
   val Side = 32
 
   /** Smooth 32×32 RGB image from a seeded RNG: per channel a DC offset plus

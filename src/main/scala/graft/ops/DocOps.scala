@@ -33,7 +33,7 @@ object DocOps {
                    k: Int, thresholdPct: Int): DataFrame = CacheScope.seal { scope =>
     // distinct shingles as 8-byte JVM hashes (see Candidates.containmentEdges
     // — set identity is preserved modulo 64-bit collisions ~1e-19/pair)
-    val withSh = scope.persist(docs
+    val withSh = scope.persistEager(docs
       .select(col(idCol).as("doc_id"),
               Keys.shingleHashUdf(k)(Keys.normCaption(col(textCol))).as("_sh"))
       .where(size(col("_sh")) > 0))
@@ -42,7 +42,7 @@ object DocOps {
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("_df"), col("s"))
     // integer ceil: ⌈nt·t⌉ = (nt·pct + 99) DIV 100
-    val prefix = scope.persist(exploded.join(freq, "s")
+    val prefix = scope.persistEager(exploded.join(freq, "s")
       .withColumn("_rk", row_number().over(wDoc))
       .where(col("_rk") <= col("nt") - expr(s"(nt * $thresholdPct + 99) DIV 100") + 1)
       .select("doc_id", "s"))
@@ -89,7 +89,8 @@ object DocOps {
                        k: Int): DataFrame = CacheScope.seal { scope =>
     // shingles are JVM-hashed longs (see Candidates.containmentEdges —
     // block identity only; the substring verify uses the strings)
-    val norm = scope.persist(docs
+    // eager: feeds several AQE-concurrent exchanges (see CacheScope.persistEager)
+    val norm = scope.persistEager(docs
       .select(col(idCol).as("doc_id"), Keys.normCaption(col(textCol)).as("_nc"))
       .withColumn("_sh", Keys.shingleHashUdf(k)(col("_nc")))
       .where(size(col("_sh")) > 0))
@@ -97,26 +98,28 @@ object DocOps {
     // Candidates.containmentEdgesIn (3.6 GB → ~0.7 GB shuffle at 1M docs)
     val exploded = norm.select(col("doc_id"), length(col("_nc")).as("_len"),
                                explode(col("_sh")).as("block"))
-    // global shingle document frequency (partial-agg shuffle, skew-free),
-    // then per-doc argmin by (df, shingle) — deterministic block choice.
+    // per-doc argmin by (df, shingle): frequency table filtered to df ≥ 2
+    // blocks (absent ⇒ df = 1 — same ordering, provably) so the df lookup
+    // left-joins a small broadcastable frame instead of shuffling the
+    // ~(shingles×docs) exploded frame by block — see containmentEdgesIn.
     // min_by, NOT a row_number window: the hash aggregate map-side-combines
-    // each partition down to one row per doc before the shuffle, where a
-    // window must shuffle + sort the full ~(shingles×docs) exploded frame.
+    // each partition down to one row per doc before the shuffle.
     val freq = exploded.groupBy("block").agg(count(lit(1)).as("_df"))
-    val short = exploded.join(freq, "block")
+      .where(col("_df") > 1)
+    val short = exploded.join(freq, Seq("block"), "left")
       .groupBy(col("doc_id"))
       .agg(min_by(struct(col("block"), col("_len")),
-                  struct(col("_df"), col("block"))).as("_pick"))
+                  struct(coalesce(col("_df"), lit(1L)), col("block"))).as("_pick"))
       .select(col("doc_id").as("short_id"), col("_pick._len").as("_slen"),
               col("_pick.block").as("block"))
     // the block join ships only (id, caption-length, block); the caption
     // STRINGS rejoin below for candidate pairs only — the ~shingles×docs
     // exploded shuffle carries ~45 B/row instead of the full text payload.
     // (short_id, block) and (long_id, block) are both unique, so the join
-    // emits each candidate pair at most once.
-    val long = norm.select(col("doc_id").as("long_id"),
-                           length(col("_nc")).as("_llen"),
-                           explode(col("_sh")).as("block"))
+    // emits each candidate pair at most once. The long side IS the exploded
+    // frame — no separate re-explode pass.
+    val long = exploded.select(col("doc_id").as("long_id"),
+                               col("_len").as("_llen"), col("block"))
     short.join(long, "block")
       .where(col("short_id") =!= col("long_id") && col("_llen") > col("_slen"))
       .select("short_id", "long_id")
@@ -155,15 +158,19 @@ object DocOps {
     // collapse identical normalized texts to one representative (skew guard,
     // same as the LSH path)
     val repW = Window.partitionBy(col("_nc"))
-    val withRep = scope.persist(base.withColumn("_rep", min("doc_id").over(repW)))
+    val withRep = scope.persistEager(base.withColumn("_rep", min("doc_id").over(repW)))
     val members = withRep.select(col("doc_id").as("id"), col("_rep").as("rep"))
-    val reps = scope.persist(withRep.where(col("doc_id") === col("_rep"))
+    val reps = scope.persistEager(withRep.where(col("doc_id") === col("_rep"))
       .select(col("doc_id"), Keys.tokens(col("_nc")).as("_t"))
       .where(size(col("_t")) > 0)
       .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("_sim")))
-    val repPairs = graft.candidates.Candidates.multiIndexHammingPairsIn(
+    // dfCap disabled: this operator's contract is EXACT (every pair within
+    // the radius, SQL-oracle-checked bit-for-bit), unlike the phash
+    // candidate source where hot degenerate buckets are droppable
+    val (repPairs, _) = graft.candidates.Candidates.multiIndexHammingPairsIn(
       reps, "doc_id", "_sim",
-      cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius)(scope)
+      cfg.simhashBands, cfg.simhashSubRadius, cfg.simhashRadius,
+      dfCap = Int.MaxValue)(scope)
     // member expansion carrying the distance: cross pairs inherit the rep
     // distance (identical text ⇒ identical signature); identical-text
     // groups pair at distance 0

