@@ -41,13 +41,46 @@ object Dedup {
         val t = new Thread(r, "graft-candidate-source"); t.setDaemon(true); t
       }))
 
+  /** One-pass featurization — the ONLY stage that touches `bytes`.
+    *
+    * Every candidate source previously planned its own scan of the input,
+    * and because the size filter predicates on `length(bytes)`, each of
+    * those scans decoded the full image-bytes column: ScaleDiag measured
+    * the four concurrent sources reading 9.6 GB of input against a 2.6 GB
+    * corpus, and in the JIT-hot regime the job is DRAM-bandwidth-bound
+    * (task core-seconds inflate 1.9× from 4→16 cores while total CPU work
+    * stays flat), so redundant byte traffic costs scaling efficiency
+    * directly. This pass reads bytes once, computes the match key (content
+    * hash ∥ optional caption/mtime parts), and checkpoints a slim
+    * (image_id, key, caption[, phash], role) frame — ~2-5% of the input
+    * width — that every downstream source and the flagship members-join
+    * consume. At 100 TB this is the difference between one pass over the
+    * images and four.
+    *
+    * `hashCol`: precomputed content-hash column (cache-first path); when
+    * absent the hash comes from `bytes` inline. The checkpoint blocks are
+    * reclaimed by the ContextCleaner once unreferenced (same lifecycle as
+    * every sealed operator output — CacheScope). */
+  private[graft] def featurize(filtered: DataFrame, cfg: DedupConfig,
+                               hashCol: Option[String] = None): DataFrame = {
+    val key = hashCol match {
+      case Some(h) =>
+        Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime"))
+      case None =>
+        Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
+    }
+    val cols = Seq(col("image_id"), key.as("key"), col("caption"), col("role")) ++
+      (if (cfg.enablePhashHamming) Seq(col("phash")) else Nil)
+    filtered.select(cols: _*).localCheckpoint(eager = true)
+  }
+
   /** Candidate edges from every enabled source, unioned.
     * `hashCol`: name of a precomputed content-hash column (cache-first
     * path); when absent the hash is computed inline from `bytes`.
     * Returns (edges(id1,id2,kind), metrics rows).
     *
-    * The four sources read disjoint column sets and are independent
-    * Spark jobs (each operator seals its output eagerly — CacheScope), so
+    * The sources are independent Spark jobs over the shared featurized
+    * frame (each operator seals its output eagerly — CacheScope), so
     * they are submitted CONCURRENTLY and the union consumes each as it
     * lands. Serially, total wall-clock is the SUM of every source's
     * barriers and fixed per-stage costs — the dominant term of the
@@ -61,18 +94,20 @@ object Dedup {
     *   set for nothing. */
   def candidateEdges(df: DataFrame, cfg: DedupConfig,
                      hashCol: Option[String] = None,
-                     dedup: Boolean = true): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
+                     dedup: Boolean = true): (DataFrame, DataFrame) =
+    candidateEdgesFromFeatures(featurize(df, cfg, hashCol), cfg, dedup)
+
+  /** Candidate edges over an already-featurized slim frame (see
+    * `featurize`). */
+  private[graft] def candidateEdgesFromFeatures(
+      features: DataFrame, cfg: DedupConfig,
+      dedup: Boolean = true): (DataFrame, DataFrame) = {
+    val spark = features.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = sourceEc
-    val keyed = df.withColumn("key", hashCol match {
-      case Some(h) =>
-        Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime"))
-      case None =>
-        Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
-    })
+    val keyed = features
     def srcMetrics(name: String, m: DataFrame): DataFrame =
       m.select(lit(name).as("source"), col("salted_buckets"), col("salt_groups"))
     // each source tags its jobs (thread-local; SQLExecution propagates it
@@ -87,16 +122,16 @@ object Dedup {
         (Candidates.exactEdges(keyed, "image_id", "key").localCheckpoint(true), None)
       }}) ++
       (if (cfg.enableCaptionLsh) Seq(Future { tagged("caption_lsh") {
-        val (e, m) = Candidates.captionLshEdges(df, "image_id", "caption", cfg.near)
+        val (e, m) = Candidates.captionLshEdges(features, "image_id", "caption", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
       }}) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
-        val (e, m) = Candidates.phashHammingEdges(df, "image_id", "phash", cfg.near)
+        val (e, m) = Candidates.phashHammingEdges(features, "image_id", "phash", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("phash_hamming", m)))
       }}) else Nil) ++
       (if (cfg.enableContainment) Seq(Future { tagged("containment") {
         // containmentEdges is already sealed (eager) by its CacheScope
-        (Candidates.containmentEdges(df, "image_id", "caption", cfg.near), None)
+        (Candidates.containmentEdges(features, "image_id", "caption", cfg.near), None)
       }}) else Nil)
     val results = Await.result(Future.sequence(tasks), Duration.Inf)
     val edges = results.map(_._1).reduce(_ unionByName _)
@@ -124,9 +159,20 @@ object Dedup {
 
   /** End-to-end: actions table (image_id, role, cluster_id, disposition,
     * target). The reference's dry-run semantics (file_manager.py:121-127):
-    * this table is always a *plan*; applying it is a separate commit step. */
+    * this table is always a *plan*; applying it is a separate commit step.
+    *
+    * Unlike `clusterMembers` (whose contract carries every input column,
+    * bytes included), the actions table needs only (image_id, role,
+    * cluster_id) — so the members side here joins the slim featurized
+    * frame, and the whole job scans the image bytes exactly once. */
   def run(df: DataFrame, cfg: DedupConfig = DedupConfig()): DataFrame = {
-    val members = clusterMembers(df, cfg)
+    val filtered = filterRows(df, cfg.filter)
+    val features = featurize(filtered, cfg)
+    val (edges, _) = candidateEdgesFromFeatures(features, cfg, dedup = false)
+    val cc = ConnectedComponents.runMapping(edges)
+    val members = features
+      .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
       .select("image_id", "role", "cluster_id")
     Resolver.resolve(members, cfg.resolve)
   }
