@@ -27,10 +27,17 @@ object Dedup {
     * range + extension whitelist/blacklist. Pure predicate → Catalyst pushes
     * it into the Parquet scan. */
   def filterRows(df: DataFrame, f: FilterConfig): DataFrame = {
-    var cond: Column = length(col("bytes")).between(f.minSize, f.maxSize)
-    f.whitelistExt.foreach(wl => cond = cond && col("fmt").isin(wl.toSeq: _*))
-    f.blacklistExt.foreach(bl => cond = cond && !col("fmt").isin(bl.toSeq: _*))
-    df.where(cond)
+    // the size predicate only exists when the range actually constrains:
+    // length(bytes) is not pushable into the parquet scan, so a trivially-
+    // true range would force every consumer's scan to read the (dominant)
+    // byte column just to discard the predicate
+    val conds =
+      (if (f.minSize > 0L || f.maxSize < Long.MaxValue)
+         Seq(length(col("bytes")).between(f.minSize, f.maxSize))
+       else Nil) ++
+      f.whitelistExt.map(wl => col("fmt").isin(wl.toSeq: _*)) ++
+      f.blacklistExt.map(bl => !col("fmt").isin(bl.toSeq: _*))
+    conds.reduceOption(_ && _).map(df.where).getOrElse(df)
   }
 
   // Candidate sources run as CONCURRENT jobs on the shared session: a small
