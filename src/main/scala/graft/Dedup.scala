@@ -76,7 +76,18 @@ object Dedup {
       case None =>
         Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
     }
-    val cols = Seq(col("image_id"), key.as("key"), col("caption"), col("role")) ++
+    // `iid`: a unique 8-byte surrogate id, frozen by the checkpoint. Every
+    // heavy shuffle downstream — band/block/bucket explosions, edge frames,
+    // the CC iterations — carries ids in EVERY row, and on this corpus a
+    // string image_id costs ~3× the bytes (and a string hash/compare per
+    // join probe) of a long. The streaming-bandwidth ceiling is the
+    // measured binding constraint at high core counts (HW_CEILING.json:
+    // copy scales at 0.80 for 4→16 cores while random-access scales at
+    // 1.00), so shuffled bytes convert directly into scaling efficiency.
+    // iid values are run-local (partition-indexed); everything user-facing
+    // is remapped back to image_id before it leaves the engine.
+    val cols = Seq(monotonically_increasing_id().as("iid"),
+      col("image_id"), key.as("key"), col("caption"), col("role")) ++
       (if (cfg.enablePhashHamming) Seq(col("phash")) else Nil)
     filtered.select(cols: _*).localCheckpoint(eager = true)
   }
@@ -101,11 +112,23 @@ object Dedup {
     *   set for nothing. */
   def candidateEdges(df: DataFrame, cfg: DedupConfig,
                      hashCol: Option[String] = None,
-                     dedup: Boolean = true): (DataFrame, DataFrame) =
-    candidateEdgesFromFeatures(featurize(df, cfg, hashCol), cfg, dedup)
+                     dedup: Boolean = true): (DataFrame, DataFrame) = {
+    val features = featurize(df, cfg, hashCol)
+    val (e, m) = candidateEdgesFromFeatures(features, cfg, dedup = false)
+    // public contract: edges over image ids, id1 < id2 — remap the run-local
+    // surrogate ids back (two slim long-keyed joins) and re-orient, since
+    // iid order is not image_id order
+    val ids = features.select(col("iid"), col("image_id"))
+    val named = e
+      .join(ids.select(col("iid").as("id1"), col("image_id").as("_n1")), "id1")
+      .join(ids.select(col("iid").as("id2"), col("image_id").as("_n2")), "id2")
+      .select(least(col("_n1"), col("_n2")).as("id1"),
+              greatest(col("_n1"), col("_n2")).as("id2"))
+    (if (dedup) named.distinct() else named, m)
+  }
 
   /** Candidate edges over an already-featurized slim frame (see
-    * `featurize`). */
+    * `featurize`): (edges(id1,id2) over SURROGATE iids, metrics). */
   private[graft] def candidateEdgesFromFeatures(
       features: DataFrame, cfg: DedupConfig,
       dedup: Boolean = true): (DataFrame, DataFrame) = {
@@ -126,19 +149,19 @@ object Dedup {
     }
     val tasks: Seq[Future[(DataFrame, Option[DataFrame])]] = Seq(
       Future { tagged("exact") {
-        (Candidates.exactEdges(keyed, "image_id", "key").localCheckpoint(true), None)
+        (Candidates.exactEdges(keyed, "iid", "key").localCheckpoint(true), None)
       }}) ++
       (if (cfg.enableCaptionLsh) Seq(Future { tagged("caption_lsh") {
-        val (e, m) = Candidates.captionLshEdges(features, "image_id", "caption", cfg.near)
+        val (e, m) = Candidates.captionLshEdges(features, "iid", "caption", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
       }}) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
-        val (e, m) = Candidates.phashHammingEdges(features, "image_id", "phash", cfg.near)
+        val (e, m) = Candidates.phashHammingEdges(features, "iid", "phash", cfg.near)
         (e.localCheckpoint(true), Some(srcMetrics("phash_hamming", m)))
       }}) else Nil) ++
       (if (cfg.enableContainment) Seq(Future { tagged("containment") {
         // containmentEdges is already sealed (eager) by its CacheScope
-        (Candidates.containmentEdges(features, "image_id", "caption", cfg.near), None)
+        (Candidates.containmentEdges(features, "iid", "caption", cfg.near), None)
       }}) else Nil)
     val results = Await.result(Future.sequence(tasks), Duration.Inf)
     val edges = results.map(_._1).reduce(_ unionByName _)
@@ -177,10 +200,16 @@ object Dedup {
     val features = featurize(filtered, cfg)
     val (edges, _) = candidateEdgesFromFeatures(features, cfg, dedup = false)
     val cc = ConnectedComponents.runMapping(edges)
-    val members = features
-      .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
-      .select("image_id", "role", "cluster_id")
+    // surrogate-id components → the public cluster naming (min image_id of
+    // the component, singletons to themselves): one groupBy + join over the
+    // slim members frame restores the exact string semantics while the
+    // whole candidate/CC machinery above shuffled 8-byte ids
+    val m = features.select(col("iid"), col("image_id"), col("role"))
+      .join(cc.withColumnRenamed("id", "iid"), Seq("iid"), "left")
+      .withColumn("_cid", coalesce(col("cluster_id"), col("iid")))
+    val names = m.groupBy("_cid").agg(min("image_id").as("_cname"))
+    val members = m.join(names, "_cid")
+      .select(col("image_id"), col("role"), col("_cname").as("cluster_id"))
     Resolver.resolve(members, cfg.resolve)
   }
 
