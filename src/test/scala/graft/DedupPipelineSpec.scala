@@ -74,6 +74,22 @@ class DedupPipelineSpec extends SparkSpec {
       s"engine merged unrelated planted clusters: ${merged.collect().take(5).mkString(",")}")
   }
 
+  test("surrogate-id flagship equals the string-path composition") {
+    // Dedup.run shuffles 8-byte surrogate ids through candidates/CC and
+    // restores cluster naming with a groupBy+join; clusterMembers runs the
+    // same pipeline over string image ids. The two paths must produce the
+    // IDENTICAL actions table — clusters, naming (min image_id), election,
+    // dispositions, targets.
+    val viaRun = Dedup.run(corpus.toDF(), DedupConfig())
+    val viaStrings = graft.resolve.Resolver.resolve(
+      Dedup.clusterMembers(corpus.toDF(), DedupConfig())
+        .select("image_id", "role", "cluster_id"),
+      DedupConfig().resolve)
+    assert(viaRun.exceptAll(viaStrings).count() == 0 &&
+           viaStrings.exceptAll(viaRun).count() == 0,
+      "surrogate-id and string-id pipelines diverged")
+  }
+
   test("resolution: ref rows always keep; matched scan elects one mover") {
     val actions = Dedup.run(corpus.toDF(), DedupConfig()).cache()
     assert(actions.where(col("role") === "ref" && col("disposition") =!= "keep").count() == 0)
