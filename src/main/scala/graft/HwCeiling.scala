@@ -69,8 +69,32 @@ object HwCeiling {
       val dst = new Array[Long](8 * 1024 * 1024)
       () => System.arraycopy(src, 0, dst, 0, src.length)
     }
+    // randomWork models the job's hot loop better than either pure probe:
+    // shuffled hash joins and hash aggregates chase pointers through
+    // per-task tables far larger than the per-core L2 — on one socket every
+    // added core SHRINKS each core's share of the shared L3, so random-
+    // access work inflates with core count in a way neither the L1-resident
+    // CPU probe nor the prefetchable streaming probe shows. One op = 4096
+    // dependent 8-byte loads over a thread-local 128 MiB table.
+    def randomWork(): () => Unit = {
+      val table = new Array[Long](16 * 1024 * 1024) // 128 MiB
+      java.util.Arrays.fill(table, 0x9e3779b97f4a7c15L)
+      var x = 0x243f6a8885a308d3L
+      () => {
+        var i = 0
+        var acc = 0L
+        var s = x
+        while (i < 4096) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          acc ^= table(((s >>> 33) & (table.length - 1)).toInt)
+          i += 1
+        }
+        x = s ^ acc
+      }
+    }
 
-    final case class Res(cores: Int, cpuOps: Double, bwGBs: Double)
+    final case class Res(cores: Int, cpuOps: Double, bwGBs: Double,
+                         randOps: Double = 0.0)
     val results = coreCounts.map { c =>
       pin(c)
       // per-thread local state: build the closures AFTER pinning
@@ -89,15 +113,19 @@ object HwCeiling {
       driveLocal(() => cpuWork()) // warmup (JIT)
       val cpu = driveLocal(() => cpuWork())
       val bw = driveLocal(() => bwWork())
-      val r = Res(c, cpu / (ms / 1e3), bw * 128.0 / 1024 / (ms / 1e3)) // 128 MiB moved per copy op
-      System.err.println(f"[hw] cores=$c cpu=${r.cpuOps}%.0f hashes/s  membw=${r.bwGBs}%.1f GB/s")
+      val rnd = driveLocal(() => randomWork())
+      val r = Res(c, cpu / (ms / 1e3), bw * 128.0 / 1024 / (ms / 1e3), // 128 MiB moved per copy op
+                  rnd / (ms / 1e3))
+      System.err.println(f"[hw] cores=$c cpu=${r.cpuOps}%.0f hashes/s  membw=${r.bwGBs}%.1f GB/s  rand=${r.randOps}%.0f probes/s")
       r
     }
     val base = results.head
     val legs = results.map { r =>
       f"""{"cores":${r.cores},"sha256_16k_per_sec":${r.cpuOps}%.0f,"copy_gb_per_sec":${r.bwGBs}%.2f,""" +
+      f""""rand_probe_per_sec":${r.randOps}%.0f,""" +
       f""""cpu_eff_vs_${base.cores}":${r.cpuOps / base.cpuOps / (r.cores.toDouble / base.cores)}%.3f,""" +
-      f""""bw_eff_vs_${base.cores}":${r.bwGBs / base.bwGBs / (r.cores.toDouble / base.cores)}%.3f}"""
+      f""""bw_eff_vs_${base.cores}":${r.bwGBs / base.bwGBs / (r.cores.toDouble / base.cores)}%.3f,""" +
+      f""""rand_eff_vs_${base.cores}":${r.randOps / base.randOps / (r.cores.toDouble / base.cores)}%.3f}"""
     }.mkString("[", ",", "]")
     val line = s"""{"metric":"hw_ceiling","window_ms":$ms,"legs":$legs}"""
     println(line)
