@@ -28,6 +28,12 @@ import graft.schema.DedupConfig
   *     run's whole-box steal + idle fractions are emitted per query
   *     (`query_steal`, `query_idle`), so a reader can tell a genuinely
   *     slow plan (idle≈0, steal≈0) from a contended window.
+  *
+  * Packaging: the stdout/BENCH_LINE.json line carries ONLY the compact
+  * contract fields (total, per-query seconds, errors, flagship) — round 3's
+  * line inlined the steal/idle maps and tripled in length, pushing the
+  * front of the JSON out of the driver's captured tail ("parsed": null).
+  * The diagnostics now go to BENCH_DIAG.json (file only, never stdout).
   */
 object Bench {
   /** (user nice sys idle iowait irq softirq steal) ticks, whole box. */
@@ -76,6 +82,9 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors(name) = e.getClass.getSimpleName
+          // a success on an earlier repeat must not survive alongside the
+          // error record — an errored query is unambiguously null
+          best.remove(name)
       }
     }
     // flagship throughput: input materialized before the timer
@@ -93,6 +102,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] flagship FAILED: ${e.getMessage}")
           errors("flagship") = e.getClass.getSimpleName
+          flagship = None
       }
     }
     def jmap(sel: Timing => Double): String = names.map { k =>
@@ -113,13 +123,20 @@ object Bench {
     }
     val line =
       f"""{"metric":"total","value":$okTotal%.3f,"unit":"sec","repeats":$repeats,""" +
-        f""""queries":${jmap(_.sec)},"query_steal":${jmap(_.steal)},""" +
-        f""""query_idle":${jmap(_.idle)},""" +
+        f""""queries":${jmap(_.sec)},""" +
         f""""errors":$errsJson,""" + flagshipJson + f""""sf":"$sfDir"}"""
     println(line)
     Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LINE.json")),
       line + "\n")
+    val diag =
+      f"""{"metric":"bench_diag","query_steal":${jmap(_.steal)},""" +
+        f""""query_idle":${jmap(_.idle)}""" +
+        flagship.map(t => f""","flagship_steal":${t.steal}%.3f,"flagship_idle":${t.idle}%.3f""").getOrElse("") +
+        "}"
+    Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_DIAG_OUT", "BENCH_DIAG.json")),
+      diag + "\n")
     spark.stop()
   }
 }

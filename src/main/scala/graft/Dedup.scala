@@ -30,11 +30,15 @@ object Dedup {
     // the size predicate only exists when the range actually constrains:
     // length(bytes) is not pushable into the parquet scan, so a trivially-
     // true range would force every consumer's scan to read the (dominant)
-    // byte column just to discard the predicate
+    // byte column just to discard the predicate. The elided form keeps the
+    // range's null semantics with an explicit isNotNull (null-byte rows must
+    // never survive into the key groupBy, where their null hash fields would
+    // compare equal and cluster together); on a non-nullable input schema
+    // Catalyst folds the guard away, so the scan still skips `bytes`.
     val conds =
       (if (f.minSize > 0L || f.maxSize < Long.MaxValue)
          Seq(length(col("bytes")).between(f.minSize, f.maxSize))
-       else Nil) ++
+       else Seq(col("bytes").isNotNull)) ++
       f.whitelistExt.map(wl => col("fmt").isin(wl.toSeq: _*)) ++
       f.blacklistExt.map(bl => !col("fmt").isin(bl.toSeq: _*))
     conds.reduceOption(_ && _).map(df.where).getOrElse(df)
@@ -86,8 +90,19 @@ object Dedup {
     // 1.00), so shuffled bytes convert directly into scaling efficiency.
     // iid values are run-local (partition-indexed); everything user-facing
     // is remapped back to image_id before it leaves the engine.
+    //
+    // Optional columns are carried only when a consumer can need them:
+    // `caption` when the key or any caption-based source uses it, `role`
+    // when the input has one (candidateEdges never needs it — requiring it
+    // unconditionally broke round 2's public contract; Dedup.run's resolve
+    // stage still fails fast with a clear missing-column error if absent).
+    val needCaption = !cfg.key.ignoreCaption ||
+      cfg.enableCaptionLsh || cfg.enableContainment
+    val hasRole = filtered.columns.contains("role")
     val cols = Seq(monotonically_increasing_id().as("iid"),
-      col("image_id"), key.as("key"), col("caption"), col("role")) ++
+      col("image_id"), key.as("key")) ++
+      (if (needCaption) Seq(col("caption")) else Nil) ++
+      (if (hasRole) Seq(col("role")) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(col("phash")) else Nil)
     filtered.select(cols: _*).localCheckpoint(eager = true)
   }

@@ -36,23 +36,6 @@ object HwCeiling {
     require(ok, s"taskset failed for $cores cpus")
   }
 
-  /** Run `work` on `threads` threads for `ms` milliseconds; returns total
-    * completed work units. */
-  private def drive(threads: Int, ms: Long)(work: () => Unit): Long = {
-    val done = new AtomicLong
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val ts = (1 to threads).map { _ =>
-      val t = new Thread(() => {
-        while (!stop.get()) { work(); done.incrementAndGet() }
-      })
-      t.setDaemon(true); t.start(); t
-    }
-    Thread.sleep(ms)
-    stop.set(true)
-    ts.foreach(_.join(5000))
-    done.get()
-  }
-
   def main(args: Array[String]): Unit = {
     val coreCounts = sys.env.getOrElse("HW_CORES", "8,32")
       .split(",").map(_.trim.toInt).toSeq.sorted
@@ -110,10 +93,13 @@ object HwCeiling {
         stop.set(true); ts.foreach(_.join(5000))
         done.get()
       }
-      driveLocal(() => cpuWork()) // warmup (JIT)
-      val cpu = driveLocal(() => cpuWork())
-      val bw = driveLocal(() => bwWork())
-      val rnd = driveLocal(() => randomWork())
+      // one discarded warmup window PER PROBE KIND (JIT + allocation ramp):
+      // warming only the cpu probe left membw/random measuring their own
+      // compile ramp, slightly understating throughput
+      def measured(mk: () => (() => Unit)): Long = { driveLocal(mk); driveLocal(mk) }
+      val cpu = measured(() => cpuWork())
+      val bw = measured(() => bwWork())
+      val rnd = measured(() => randomWork())
       val r = Res(c, cpu / (ms / 1e3), bw * 128.0 / 1024 / (ms / 1e3), // 128 MiB moved per copy op
                   rnd / (ms / 1e3))
       System.err.println(f"[hw] cores=$c cpu=${r.cpuOps}%.0f hashes/s  membw=${r.bwGBs}%.1f GB/s  rand=${r.randOps}%.0f probes/s")

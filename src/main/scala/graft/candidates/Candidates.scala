@@ -380,7 +380,8 @@ object Candidates {
   }
 
   /** Contained-caption candidates: short caption is a substring of a longer
-    * one. Blocking: a containment pair must share every shingle of the short
+    * one AT WORD BOUNDARIES (both sides space-padded — the same contract as
+    * DocOps.containmentPairs). Blocking: a containment pair must share every shingle of the short
     * side, so any ONE shingle of the short side is a recall-lossless block
     * key (for captions with ≥ k tokens) — and picking the short side's
     * **globally least frequent** shingle (classic prefix filtering, à la
@@ -446,7 +447,13 @@ object Candidates {
                 .hint("SHUFFLE_HASH"), "sid")
       .join(norm.select(col(idCol).as("lid"), col("_nc").as("l_nc"))
                 .hint("SHUFFLE_HASH"), "lid")
-      .where(instr(col("l_nc"), col("s_nc")) > 0)
+      // word-boundary containment — both sides space-padded, IDENTICAL to
+      // DocOps.containmentPairs and the DuckDB oracle: an unpadded instr
+      // admits mid-token matches ("he cat" ⊂ "the cats"), merging clusters
+      // the documented contract excludes (regression: CandidatesSpec's
+      // mid-token case)
+      .where(instr(concat(lit(" "), col("l_nc"), lit(" ")),
+                   concat(lit(" "), col("s_nc"), lit(" "))) > 0)
       .select(least(col("sid"), col("lid")).as("id1"),
               greatest(col("sid"), col("lid")).as("id2"),
               lit("containment").as("kind"))

@@ -46,8 +46,13 @@ object TableIO {
     val parent = lastSnapshot(root).map(_.id).getOrElse(-1L)
     val id = parent + 1
     val dataDir = s"$root/data/snap-$id"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
-    val rows = df.sparkSession.read.parquet(dataDir).count()
+    // row count observed DURING the write (one job) — the old re-read of the
+    // just-written parquet was a full second pass per stage commit, at a
+    // 100 TB edges snapshot a second scan of the whole table
+    val obs = org.apache.spark.sql.Observation(s"graft-commit-$stage-$id")
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(dataDir)
+    val rows = obs.get("rows").asInstanceOf[Long]
     val snap = Snapshot(id, parent, rows, stage)
     val json =
       s"""{"id":$id,"parent":$parent,"rows":$rows,"stage":"$stage"}"""

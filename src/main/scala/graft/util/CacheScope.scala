@@ -23,7 +23,7 @@ import org.apache.spark.storage.StorageLevel
   * Checkpointed outputs live as plain RDD blocks outside the SQL cache
   * manager and are reclaimed by the ContextCleaner once unreferenced, so
   * after any operator returns, the session's cache manager is empty
-  * (asserted by PersistScopeSpec). A second win: sealed operators are
+  * (asserted by PlanShapeSpec). A second win: sealed operators are
   * independent Spark jobs, so the engine can run several candidate
   * sources CONCURRENTLY on one session (see Dedup.candidateEdges).
   */

@@ -100,6 +100,26 @@ class CandidatesSpec extends SparkSpec {
     assert(got == Set(("a", "b")))
   }
 
+  test("containment verify is word-boundary: mid-token substrings rejected") {
+    // "he cat sat" IS a raw substring of "the cat sat here" ("t|he cat sat|
+    // here") but NOT at a word boundary — round 3's unpadded instr admitted
+    // it in the engine path while DocOps/the oracle rejected it. Both code
+    // paths must agree on the padded contract.
+    val df = Seq(
+      ("a", "he cat sat"),
+      ("b", "the cat sat here"),          // mid-token superstring of a — NOT a pair
+      ("c", "oh he cat sat down"),        // word-boundary superstring of a — a pair
+      ("d", "unrelated words entirely here")
+    ).toDF("image_id", "caption")
+    val cfg = graft.schema.NearDupConfig()
+    val engine = Candidates.containmentEdges(df, "image_id", "caption", cfg)
+      .select("id1", "id2").as[(String, String)].collect().toSet
+    assert(engine == Set(("a", "c")), s"engine path got $engine")
+    val query = graft.ops.DocOps.containmentPairs(df, "image_id", "caption", cfg.shingleK)
+      .select("short_id", "long_id").as[(String, String)].collect().toSet
+    assert(query == Set(("a", "c")), s"query path got $query")
+  }
+
   test("star edges for exact groups are linear in group size") {
     val keyed = (0 until 50).map(i => (f"id_$i%03d", "k1")).toDF("image_id", "key")
     val edges = Candidates.exactEdges(keyed, "image_id", "key")
