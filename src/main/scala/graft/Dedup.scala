@@ -171,8 +171,9 @@ object Dedup {
         (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
       }}) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
+        // phashHammingEdges output is already sealed by its own CacheScope
         val (e, m) = Candidates.phashHammingEdges(features, "iid", "phash", cfg.near)
-        (e.localCheckpoint(true), Some(srcMetrics("phash_hamming", m)))
+        (e, Some(srcMetrics("phash_hamming", m)))
       }}) else Nil) ++
       (if (cfg.enableContainment) Seq(Future { tagged("containment") {
         // containmentEdges is already sealed (eager) by its CacheScope

@@ -196,9 +196,14 @@ object SparkEntry {
     // oracle-side definition only.
     "q_dup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val edges = DocOps.minhashLshPairs(docs, "doc_id", "text", docLsh)
-        .select(col("doc1"), col("doc2"))
-      val cc = ConnectedComponents.run(edges)
+      // connectivity-form edges (rep pairs + member stars): identical
+      // components to the full pair listing, Θ(groups) fewer edges
+      val edges = DocOps.minhashLshEdges(docs, "doc_id", "text", docLsh)
+      // mapping-only CC: the left join + coalesce below already maps absent
+      // nodes (roots, singletons) to themselves, so the full node-universe
+      // variant's union-distinct, count barrier and final join are pure
+      // overhead here (same reasoning as the flagship)
+      val cc = ConnectedComponents.runMapping(edges)
       docs.select(col("doc_id"))
         .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -295,11 +300,13 @@ object SparkEntry {
           docs.withColumn("k40", substring(col("text"), 1, 40)),
           "image_id", Seq("k40"), "exact")
         .select("id1", "id2")
-      val jacc = DocOps.minhashLshPairs(docs, "image_id", "text", docLsh)
+      val jacc = DocOps.minhashLshEdges(docs, "image_id", "text", docLsh)
         .select(col("doc1").as("id1"), col("doc2").as("id2"))
       val contain = DocOps.containmentPairs(docs, "image_id", "text", 3)
         .select(col("short_id").as("id1"), col("long_id").as("id2"))
-      val cc = ConnectedComponents.run(exact.unionByName(jacc).unionByName(contain))
+      // mapping-only CC (roots/singletons coalesce to themselves below)
+      val cc = ConnectedComponents.runMapping(
+        exact.unionByName(jacc).unionByName(contain))
       val members = docs
         .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
         .select(col("image_id"), col("role"),

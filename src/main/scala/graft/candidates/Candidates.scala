@@ -196,7 +196,13 @@ object Candidates {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val norm = df.select(col(idCol), Keys.normCaption(col(captionCol)).as("_nc"))
     val repW = Window.partitionBy(col("_nc"))
-    val withRep = scope.persistEager(norm.withColumn("_rep", min(idCol).over(repW)))
+    // LAZY persist: the one eager barrier of this operator is
+    // pairsWithinBucketsIn's `rows` count, whose linear compute chain
+    // (rows ← exploded ← shingled ← withRep) populates this cache and
+    // shingled's in the same job — an eager count here was a redundant
+    // barrier (part of the round-3 eager-seal regression). By seal time the
+    // cache is built, so the concurrent seal jobs only read it.
+    val withRep = scope.persist(norm.withColumn("_rep", min(idCol).over(repW)))
     val members = withRep.select(col(idCol).as("id"), col("_rep").as("rep"))
     // ONE fused JVM pass per rep computes the distinct shingle hashes AND
     // the LSH band hashes (Keys.shingleLshUdf): shingling via the
@@ -207,7 +213,8 @@ object Candidates {
     // Jaccard unless two distinct shingles of one compared pair collide in
     // 64 bits (~1e-19 per pair).
     val sbUdf = Keys.shingleLshUdf(cfg.shingleK, cfg.lshBands, cfg.lshRowsPerBand)
-    val shingled = scope.persistEager(withRep.where(col(idCol) === col("_rep"))
+    // lazy for the same reason as withRep (built by the `rows` count chain)
+    val shingled = scope.persist(withRep.where(col(idCol) === col("_rep"))
       .select(col(idCol), sbUdf(col("_nc")).as("_sb"))
       .where(size(col("_sb._1")) > 0)
       .select(col(idCol), col("_sb._1").as("_shh"), col("_sb._2").as("_bands")))
@@ -362,21 +369,29 @@ object Candidates {
     * story. Returns (edges, metrics). */
   def phashHammingEdges(df: DataFrame, idCol: String, phashCol: String,
                         cfg: NearDupConfig): (DataFrame, DataFrame) = {
-    // collapse identical phash first (same reasoning as captions)
-    val repW = Window.partitionBy(col(phashCol))
-    val withRep = df.select(col(idCol), col(phashCol))
-      .withColumn("_rep", min(idCol).over(repW))
-    val samePhash = withRep.where(col(idCol) =!= col("_rep"))
-      .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
-    val reps = withRep.where(col(idCol) === col("_rep"))
-      .select(col(idCol), col(phashCol))
-    // metrics: hot band buckets dropped by the df cap + the index rows they
-    // held (no-silent-caps rule)
-    val (pairs, metrics) = multiIndexHammingPairsWithStats(reps, idCol, phashCol,
-        cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius,
-        cfg.hammingDfCap)
-    val edges = pairs.select(col("id1"), col("id2"), lit("phash_hamming").as("kind"))
-    (edges.unionByName(samePhash), metrics)
+    val Seq(edges, metrics) = CacheScope.sealMany { scope =>
+      // collapse identical phash first (same reasoning as captions); LAZY
+      // persist — the collapse window previously ran TWICE (once for the
+      // exact-star edges, once under the Hamming index) because the two
+      // consumers lived in separate plans; here the index side's eager
+      // `indexed` count builds this cache and the sealed union reads it
+      val repW = Window.partitionBy(col(phashCol))
+      val withRep = scope.persist(df.select(col(idCol), col(phashCol))
+        .withColumn("_rep", min(idCol).over(repW)))
+      val samePhash = withRep.where(col(idCol) =!= col("_rep"))
+        .select(col("_rep").as("id1"), col(idCol).as("id2"), lit("phash_exact").as("kind"))
+      val reps = withRep.where(col(idCol) === col("_rep"))
+        .select(col(idCol), col(phashCol))
+      // metrics: hot band buckets dropped by the df cap + the index rows they
+      // held (no-silent-caps rule)
+      val (pairs, m) = multiIndexHammingPairsIn(reps, idCol, phashCol,
+          cfg.hammingBands, cfg.hammingSubRadius, cfg.hammingRadius,
+          cfg.hammingDfCap)(scope)
+      val e = pairs.select(col("id1"), col("id2"), lit("phash_hamming").as("kind"))
+        .unionByName(samePhash)
+      Seq(e, m)
+    }
+    (edges, metrics)
   }
 
   /** Contained-caption candidates: short caption is a substring of a longer

@@ -78,6 +78,28 @@ object DocOps {
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
   }
 
+  /** MinHash+LSH near-dup EDGES in connectivity form — for clustering
+    * consumers (connected components), which need the same COMPONENTS as
+    * `minhashLshPairs`, not the full pair listing: verified rep-level pairs
+    * plus one rep—member star per identical-text group with ≥1 shingle.
+    * The quadratic member-level expansion (`expandRepPairs`) adds no
+    * connectivity, so clustering over these edges yields identical cluster
+    * assignments at Θ(groups) instead of Θ(listing) edges — the shape the
+    * flagship uses at 100 TB. Candidate generation stays pair-complete, so
+    * verification sees exactly the pairs the listing form verifies.
+    * Output (doc1, doc2). */
+  def minhashLshEdges(docs: DataFrame, idCol: String, textCol: String,
+                      cfg: NearDupConfig): DataFrame = {
+    val (repPairs, members, shingledReps, _) =
+      graft.candidates.Candidates.captionLshParts(docs, idCol, textCol, cfg,
+        pairComplete = true)
+    val stars = members.join(shingledReps, Seq("rep"), "left_semi")
+      .where(col("id") =!= col("rep"))
+      .select(col("rep").as("doc1"), col("id").as("doc2"))
+    repPairs.select(col("id1").as("doc1"), col("id2").as("doc2"))
+      .unionByName(stars)
+  }
+
   /** Contained-text pairs: shorter text is a substring of the longer (at
     * word boundaries — both sides space-padded). Blocking: every shingle of
     * the short side must appear in the long side, so any one shingle is a
@@ -158,9 +180,14 @@ object DocOps {
     // collapse identical normalized texts to one representative (skew guard,
     // same as the LSH path)
     val repW = Window.partitionBy(col("_nc"))
-    val withRep = scope.persistEager(base.withColumn("_rep", min("doc_id").over(repW)))
+    // LAZY persists: multiIndexHammingPairsIn's eager `indexed` count is the
+    // operator's one barrier, and its linear chain (indexed ← reps ← withRep)
+    // builds both caches in that same job — eager counts here were redundant
+    // barriers (round-3 eager-seal regression). Every later consumer (the
+    // verify joins, member expansion, cliques) reads the built caches.
+    val withRep = scope.persist(base.withColumn("_rep", min("doc_id").over(repW)))
     val members = withRep.select(col("doc_id").as("id"), col("_rep").as("rep"))
-    val reps = scope.persistEager(withRep.where(col("doc_id") === col("_rep"))
+    val reps = scope.persist(withRep.where(col("doc_id") === col("_rep"))
       .select(col("doc_id"), Keys.tokens(col("_nc")).as("_t"))
       .where(size(col("_t")) > 0)
       .select(col("doc_id"), Keys.simhashMd5Udf(col("_t")).as("_sim")))

@@ -61,11 +61,34 @@ object CacheScope {
   def seal(body: CacheScope => DataFrame): DataFrame =
     sealMany(s => Seq(body(s))).head
 
+  // seal jobs of ONE sealMany call run concurrently (they are independent
+  // reads of already-materialized scoped caches); a small shared daemon pool
+  // bounds the extra scheduler pressure
+  private lazy val sealEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
+        val t = new Thread(r, "graft-seal"); t.setDaemon(true); t
+      }))
+
   /** Build several outputs inside ONE fresh scope (they may share scoped
-    * intermediates), seal each eagerly, release the scope. */
+    * intermediates), seal each eagerly, release the scope.
+    *
+    * The seals are submitted CONCURRENTLY: every scoped intermediate was
+    * already materialized by `persistEager`, so each output's checkpoint job
+    * only reads built caches — sequential seals paid the sum of their
+    * barriers (the round-3 eager-seal regression on the pair-listing
+    * queries), concurrent seals pay roughly the max. */
   def sealMany(body: CacheScope => Seq[DataFrame]): Seq[DataFrame] = {
     val scope = new CacheScope
-    try body(scope).map(_.localCheckpoint(eager = true))
-    finally scope.close()
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = sealEc
+      val outs = body(scope)
+      if (outs.sizeIs <= 1) outs.map(_.localCheckpoint(eager = true))
+      else Await.result(
+        Future.sequence(outs.map(df => Future(df.localCheckpoint(eager = true)))),
+        Duration.Inf)
+    } finally scope.close()
   }
 }

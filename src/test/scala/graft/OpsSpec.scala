@@ -28,6 +28,22 @@ class OpsSpec extends SparkSpec {
     assert(lsh == oracle, s"missing=${(oracle -- lsh).take(5)} extra=${(lsh -- oracle).take(5)}")
   }
 
+  test("connectivity-form LSH edges yield the SAME components as the pair listing") {
+    assume(haveTestdata)
+    import graft.cluster.ConnectedComponents
+    def clusters(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val cc = ConnectedComponents.runMapping(edges)
+      docs.select(col("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")))
+        .as[(Long, Long)].collect().toMap
+    }
+    val viaListing = clusters(DocOps.minhashLshPairs(docs, "doc_id", "text", cfg)
+      .select(col("doc1"), col("doc2")))
+    val viaStars = clusters(DocOps.minhashLshEdges(docs, "doc_id", "text", cfg))
+    assert(viaStars == viaListing)
+  }
+
   test("SimHash pairs == brute-force Hamming-radius pairs on real documents") {
     assume(haveTestdata)
     // in-test oracle: collect the same md5-token signatures, list ALL pairs
