@@ -104,7 +104,7 @@ object Dedup {
       (if (needCaption) Seq(col("caption")) else Nil) ++
       (if (hasRole) Seq(col("role")) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(col("phash")) else Nil)
-    filtered.select(cols: _*).localCheckpoint(eager = true)
+    graft.util.Seal(filtered.select(cols: _*))
   }
 
   /** Candidate edges from every enabled source, unioned.
@@ -164,11 +164,11 @@ object Dedup {
     }
     val tasks: Seq[Future[(DataFrame, Option[DataFrame])]] = Seq(
       Future { tagged("exact") {
-        (Candidates.exactEdges(keyed, "iid", "key").localCheckpoint(true), None)
+        (graft.util.Seal(Candidates.exactEdges(keyed, "iid", "key")), None)
       }}) ++
       (if (cfg.enableCaptionLsh) Seq(Future { tagged("caption_lsh") {
         val (e, m) = Candidates.captionLshEdges(features, "iid", "caption", cfg.near)
-        (e.localCheckpoint(true), Some(srcMetrics("caption_lsh", m)))
+        (graft.util.Seal(e), Some(srcMetrics("caption_lsh", m)))
       }}) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
         // phashHammingEdges output is already sealed by its own CacheScope

@@ -77,10 +77,9 @@ object ConnectedComponents {
     // pass, same cost the old persist+count paid) but lives OUTSIDE the SQL
     // cache manager — reclaimed by the ContextCleaner once unreferenced, so
     // a long-lived session composing operators never accumulates CC outputs
-    val out = allNodes
+    val out = graft.util.Seal(allNodes
       .join(roots.withColumnRenamed("src", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .localCheckpoint(true)
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id")))
     allNodes.unpersist(); fin.unpersist(); e0.unpersist()
     (out, iter, nEdges)
   }
@@ -103,9 +102,8 @@ object ConnectedComponents {
                            roundsPerJob: Int): DataFrame = {
     val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val (fin, _, _) = converge(e0, maxIter, roundsPerJob)
-    val out = fin.groupBy("src").agg(min("dst").as("cluster_id"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint(true)
+    val out = graft.util.Seal(fin.groupBy("src").agg(min("dst").as("cluster_id"))
+      .withColumnRenamed("src", "id"))
     fin.unpersist(); e0.unpersist()
     out
   }
@@ -151,13 +149,14 @@ object ConnectedComponents {
       var cur = e
       var r = 0
       while (r < roundsPerJob && iter + r < maxIter) { cur = round(cur); r += 1 }
-      // lazy localCheckpoint: materializes the chained rounds AND truncates
-      // the logical plan (a persist alone leaves the tree growing
-      // exponentially across iterations); the signature aggregation below is
-      // the action that materializes it — ONE job per batch. On a multi-node
-      // cluster this becomes a reliable checkpoint / table write
-      // (TableIO.stageCheckpoint).
-      val next = cur.localCheckpoint(false)
+      // lazy seal: materializes the chained rounds AND truncates the
+      // logical plan (a persist alone leaves the tree growing exponentially
+      // across iterations); the signature aggregation below is the action
+      // that materializes it — ONE job per batch. With
+      // spark.graft.checkpoint.dir set this is a RELIABLE checkpoint
+      // (executor-loss-safe on a real cluster); the local default stays
+      // zero-copy.
+      val next = graft.util.Seal(cur, eager = false)
       // convergence: edge set stable (count + order-independent xor-hash —
       // xor, not sum: ANSI mode makes long-sum overflow an error)
       val sig = next.agg(

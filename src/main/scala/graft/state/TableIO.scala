@@ -89,28 +89,98 @@ object TableIO {
   * columns (image_id, hash_value, updated_at), TTL-expired rows dropped on
   * save, upsert-by-id on merge. Engine form: MERGE-style union-dedup over
   * the TableIO facade; the anti-join lets a run hash only cache misses
-  * (reference X7 adaptive strategy, duplicates_finder.py:164-167). */
+  * (reference X7 adaptive strategy, duplicates_finder.py:164-167).
+  *
+  * Layout: the cache is HASH-PARTITIONED into `NumParts` independent
+  * TableIO tables ({root}/p=k, k = xxhash64(image_id) mod NumParts). A
+  * merge rewrites ONLY the partitions that contain fresh ids — the old
+  * single-table MERGE rewrote the whole cache on every run, O(cache) work
+  * for an O(misses) change; at a 100 TB corpus the cache is billions of
+  * rows and an incremental run may touch a sliver of them. (A real Iceberg
+  * MERGE INTO does the same thing with finer file-level granularity.)
+  * Same id always lands in the same partition, so newest-wins dedup stays
+  * a per-partition operation.
+  *
+  * TTL bookkeeping: the newest `updated_at` ever merged is recorded in
+  * {root}/_horizon (atomic rename, like the manifests). Physical pruning
+  * happens only when a partition is rewritten; `readAll` applies the
+  * horizon filter logically, so an expired row in an untouched partition
+  * is never SERVED even though its file still holds it. */
 object HashCache {
   val TtlDays = 28 // MAX_CACHE_TIME, hash_manager.py:16
+  val NumParts = 16
+
+  private[graft] def partOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(NumParts)).cast("int")
+
+  private[graft] def partRoot(root: String, p: Int) = s"$root/p=$p"
+
+  private def horizonPath(root: String) = Paths.get(root, "_horizon")
+
+  private def readHorizon(root: String): Option[java.sql.Timestamp] = {
+    val p = horizonPath(root)
+    if (!Files.exists(p)) None
+    else Some(new java.sql.Timestamp(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong))
+  }
+
+  private def writeHorizon(root: String, ts: java.sql.Timestamp): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val tmp = Paths.get(root, s"_horizon.tmp")
+    Files.write(tmp, ts.getTime.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, horizonPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every live (non-expired vs the recorded horizon) cache row, across all
+    * partitions; None when the cache has never been written. */
+  def readAll(spark: SparkSession, root: String): Option[DataFrame] = {
+    val parts = (0 until NumParts)
+      .flatMap(p => TableIO.read(spark, partRoot(root, p)))
+    parts.reduceOption(_ unionByName _).map { all =>
+      readHorizon(root) match {
+        case Some(h) => all.where(
+          col("updated_at") >= lit(h).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
+        case None => all
+      }
+    }
+  }
 
   /** Upsert `fresh` (image_id, hash_value, updated_at) into the cache at
     * `root`: newest row per image_id wins; expired rows (older than the TTL
-    * relative to the newest updated_at present) are dropped. */
+    * relative to the newest updated_at ever merged) are dropped. Only
+    * partitions containing fresh ids are rewritten. */
   def merge(spark: SparkSession, root: String, fresh: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val existing = TableIO.read(spark, root)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fresh.schema))
-    val unioned = existing.unionByName(fresh)
-    val w = Window.partitionBy("image_id").orderBy(col("updated_at").desc, col("hash_value"))
-    val merged = unioned
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-    val horizon = merged.agg(max("updated_at")).first().get(0)
-    val live = merged.where(
-      col("updated_at") >= lit(horizon).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
-    TableIO.commit(live, root, "hash_cache")
-    TableIO.read(spark, root).get
+    val freshP = fresh.withColumn("_p", partOf(col("image_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = freshP.select("_p").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ NumParts values — driver-safe
+    val freshMax = fresh.agg(max("updated_at")).first()
+      .getTimestamp(0)
+    val horizon = readHorizon(root) match {
+      case Some(h) if h.after(freshMax) => h
+      case _ => freshMax
+    }
+    for (p <- touched) {
+      val part = partRoot(root, p)
+      val freshPart = freshP.where(col("_p") === p).drop("_p")
+      val unioned = TableIO.read(spark, part) match {
+        case Some(existing) => existing.unionByName(freshPart)
+        case None => freshPart
+      }
+      val w = Window.partitionBy("image_id")
+        .orderBy(col("updated_at").desc, col("hash_value"))
+      val live = unioned
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+        .where(col("updated_at") >=
+          lit(horizon).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
+      TableIO.commit(live, part, "hash_cache")
+    }
+    writeHorizon(root, horizon)
+    freshP.unpersist()
+    readAll(spark, root).get
   }
 
   /** Hashes for `ids` (image_id) resolved cache-first: (cached hits,
@@ -124,8 +194,7 @@ object HashCache {
     * the row from the merged hash table — and from every downstream
     * edge/cluster/action. */
   def lookup(spark: SparkSession, root: String, ids: DataFrame): (DataFrame, DataFrame) = {
-    val cache = TableIO.read(spark, root)
-    cache match {
+    readAll(spark, root) match {
       case None => (ids.limit(0).withColumn("hash_value", lit("")), ids)
       case Some(c) =>
         val live = c.where(

@@ -13,10 +13,10 @@ import org.apache.spark.storage.StorageLevel
   * here makes the leak structurally impossible:
   *
   *   - intermediates register through `scope.persist`;
-  *   - the operator's OUTPUT is materialized eagerly (`localCheckpoint`
-  *     — on a multi-node cluster this would be a reliable checkpoint /
-  *     TableIO snapshot), which truncates its lineage off the scoped
-  *     frames;
+  *   - the operator's OUTPUT is materialized eagerly (`Seal` —
+  *     localCheckpoint by default, a reliable checkpoint when
+  *     spark.graft.checkpoint.dir is set for multi-node runs), which
+  *     truncates its lineage off the scoped frames;
   *   - the scope then releases every registered persist (try/finally,
   *     so failures release too).
   *
@@ -85,9 +85,9 @@ object CacheScope {
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext = sealEc
       val outs = body(scope)
-      if (outs.sizeIs <= 1) outs.map(_.localCheckpoint(eager = true))
+      if (outs.sizeIs <= 1) outs.map(Seal(_))
       else Await.result(
-        Future.sequence(outs.map(df => Future(df.localCheckpoint(eager = true)))),
+        Future.sequence(outs.map(df => Future(Seal(df)))),
         Duration.Inf)
     } finally scope.close()
   }

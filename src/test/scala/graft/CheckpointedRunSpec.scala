@@ -85,13 +85,18 @@ class CheckpointedRunSpec extends SparkSpec {
     // age ONE committed entry past the 28-day TTL (cache is namespaced by
     // hash kind; the default config hashes the 2 MiB prefix → "partial")
     val kindRoot = s"$cacheRoot/partial"
-    val cache = TableIO.read(spark, kindRoot).get
+    import graft.state.HashCache
+    val cache = HashCache.readAll(spark, kindRoot).get
     val victim = cache.select("image_id").orderBy("image_id").first().getString(0)
-    val aged = cache.withColumn("updated_at",
+    // the cache is hash-partitioned; age the row inside its partition table
+    val vPart = cache.limit(1)
+      .select(HashCache.partOf(lit(victim))).first().getInt(0)
+    val partTable = HashCache.partRoot(kindRoot, vPart)
+    val aged = TableIO.read(spark, partTable).get.withColumn("updated_at",
       when(col("image_id") === victim,
            col("updated_at") - expr("INTERVAL 60 DAYS"))
         .otherwise(col("updated_at")))
-    TableIO.commit(aged, kindRoot, "hash_cache")
+    TableIO.commit(aged, partTable, "hash_cache")
     val rootB = Files.createTempDirectory("graft_ckpt_ttl_b").toString
     val actions = Dedup.runCheckpointed(corpus, cfg, rootB, Some(cacheRoot))
     assert(actions.count() == n,

@@ -79,14 +79,51 @@ class StateSpec extends SparkSpec {
     val expired = new java.sql.Timestamp(now - 60L * 24 * 3600 * 1000) // 60d old
     HashCache.merge(spark, root,
       Seq(("imgFresh", "hF", fresh)).toDF("image_id", "hash_value", "updated_at"))
-    // plant the expired row directly (merge itself would prune it)
-    val withOld = TableIO.read(spark, root).get.unionByName(
-      Seq(("imgOld", "hO", expired)).toDF("image_id", "hash_value", "updated_at"))
-    TableIO.commit(withOld, root, "hash_cache")
+    // plant the expired row directly into its hash partition (merge itself
+    // would prune it)
+    val oldRow = Seq(("imgOld", "hO", expired)).toDF("image_id", "hash_value", "updated_at")
+    val oldPart = oldRow.select(HashCache.partOf(col("image_id"))).first().getInt(0)
+    val partTable = HashCache.partRoot(root, oldPart)
+    val withOld = TableIO.read(spark, partTable)
+      .map(_.unionByName(oldRow)).getOrElse(oldRow)
+    TableIO.commit(withOld, partTable, "hash_cache")
     val ids = Seq("imgFresh", "imgOld").toDF("image_id")
     val (hits, misses) = HashCache.lookup(spark, root, ids)
     assert(hits.select("image_id").as[String].collect().toSeq == Seq("imgFresh"))
     assert(misses.select("image_id").as[String].collect().toSeq == Seq("imgOld"),
       "an entry older than the TTL must be re-hashed, not served stale")
+  }
+
+  test("HashCache.merge is incremental: untouched partitions' files are byte-identical") {
+    val root = tmpDir()
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis())
+    // find two ids landing in DIFFERENT hash partitions
+    val probe = (0 until 64).map(i => s"img_$i").toDF("image_id")
+      .select(col("image_id"), HashCache.partOf(col("image_id")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val (idA, pA) = probe.head
+    val (idB, pB) = probe.find(_._2 != pA).get
+    HashCache.merge(spark, root,
+      Seq((idA, "hA", t0)).toDF("image_id", "hash_value", "updated_at"))
+    def fileDigests(p: Int): Map[String, String] = {
+      val dir = java.nio.file.Paths.get(HashCache.partRoot(root, p))
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).iterator().asScala.map { f =>
+        dir.relativize(f).toString ->
+          md.digest(java.nio.file.Files.readAllBytes(f)).map("%02x".format(_)).mkString
+      }.toMap
+      finally s.close()
+    }
+    val before = fileDigests(pA)
+    // second merge touches only idB's partition
+    val after2 = HashCache.merge(spark, root,
+      Seq((idB, "hB", t0)).toDF("image_id", "hash_value", "updated_at"))
+    assert(fileDigests(pA) == before,
+      s"partition p=$pA held no fresh ids and must not be rewritten")
+    assert(after2.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map(idA -> "hA", idB -> "hB"), "both merges visible in readAll")
+    assert(pA != pB)
   }
 }
