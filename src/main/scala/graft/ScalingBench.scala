@@ -115,8 +115,17 @@ object ScalingBench {
     // maxPartitionBytes so both legs see every file as its own split.
     val scanFiles = sys.env.getOrElse("SCALE_SCAN_FILES", "256").toInt
 
+    // SCALE_EXTRA_CONF="k=v;k2=v2": ad-hoc spark confs applied IDENTICALLY
+    // to every leg — the A/B knob for config experiments (e.g.
+    // spark.io.compression.codec=zstd trades CPU for shuffle bytes, the
+    // right direction when DRAM streaming is the scaling ceiling)
+    val extraConf: Seq[(String, String)] = sys.env.get("SCALE_EXTRA_CONF")
+      .map(_.split(";").toSeq.filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) })
+      .getOrElse(Nil)
+
     def session(cores: Int): SparkSession = {
-      val spark = SparkSession.builder()
+      val b0 = SparkSession.builder()
         .master(s"local[$cores]")
         .appName(s"graft-scale-$cores")
         .config("spark.sql.shuffle.partitions", (cores * partMult).toString)
@@ -131,6 +140,7 @@ object ScalingBench {
         .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
         .config("spark.sql.broadcastTimeout", "3600") // large-corpus builds
         .config("spark.ui.enabled", "false")
+      val spark = extraConf.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       spark
@@ -252,8 +262,11 @@ object ScalingBench {
         f""""imgs_per_sec_$c1":${n / t1}%.1f,"imgs_per_sec_$c2":${n / t2}%.1f,""" +
         f""""scaling_efficiency":${(t1 / t2) / (c2.toDouble / c1)}%.3f,"""
       } else ""
+    val extraJson =
+      if (extraConf.isEmpty) ""
+      else s""""extra_conf":"${extraConf.map { case (k, v) => s"$k=$v" }.mkString(";")}","""
     val line =
-      f"""{"metric":"scaling","n_images":$n,""" + legacy +
+      f"""{"metric":"scaling","n_images":$n,""" + legacy + extraJson +
         f""""legs":$legsJson,$pairsJson}"""
     println(line)
     java.nio.file.Files.writeString(
