@@ -30,19 +30,29 @@ object Dedup {
     // the size predicate only exists when the range actually constrains:
     // length(bytes) is not pushable into the parquet scan, so a trivially-
     // true range would force every consumer's scan to read the (dominant)
-    // byte column just to discard the predicate. The elided form keeps the
-    // range's null semantics with an explicit isNotNull (null-byte rows must
-    // never survive into the key groupBy, where their null hash fields would
-    // compare equal and cluster together); on a non-nullable input schema
-    // Catalyst folds the guard away, so the scan still skips `bytes`.
+    // byte column just to discard the predicate. Null-byte rows are NOT
+    // guarded here (an isNotNull in the shared filter forces every
+    // consumer scan — including runCheckpointed's id-only cache-lookup
+    // scan — to read the dominant bytes column on any nullable schema);
+    // they are dropped at the sites that consume bytes instead, which read
+    // the column anyway: see `dropNullBytes` / `featurize`.
     val conds =
       (if (f.minSize > 0L || f.maxSize < Long.MaxValue)
          Seq(length(col("bytes")).between(f.minSize, f.maxSize))
-       else Seq(col("bytes").isNotNull)) ++
+       else Nil) ++
       f.whitelistExt.map(wl => col("fmt").isin(wl.toSeq: _*)) ++
       f.blacklistExt.map(bl => !col("fmt").isin(bl.toSeq: _*))
     conds.reduceOption(_ && _).map(df.where).getOrElse(df)
   }
+
+  /** Null-byte rows never survive into the key groupBy (their null hash
+    * fields would compare equal and cluster together) nor into the engine's
+    * members/actions output. Applied only where `bytes` is read anyway —
+    * on a non-nullable schema Catalyst folds it away entirely. */
+  private def dropNullBytes(df: DataFrame): DataFrame =
+    if (df.schema.exists(f => f.name == "bytes" && f.nullable))
+      df.where(col("bytes").isNotNull)
+    else df
 
   // Candidate sources run as CONCURRENT jobs on the shared session: a small
   // daemon pool submits them; Spark's scheduler interleaves their stages.
@@ -74,11 +84,17 @@ object Dedup {
     * every sealed operator output — CacheScope). */
   private[graft] def featurize(filtered: DataFrame, cfg: DedupConfig,
                                hashCol: Option[String] = None): DataFrame = {
-    val key = hashCol match {
+    // null-byte guard lives HERE (the scan reads bytes regardless), never
+    // in the shared filter — see filterRows. The hashCol branch needs no
+    // guard: its input is already inner-joined with the hash table, which
+    // only ever holds rows that were hashed from non-null bytes.
+    val (src, key) = hashCol match {
       case Some(h) =>
-        Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime"))
+        (filtered,
+         Keys.matchKeyFromHash(cfg.key, col(h), col("caption"), col("mtime")))
       case None =>
-        Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime"))
+        (dropNullBytes(filtered),
+         Keys.matchKey(cfg.key, col("bytes"), col("caption"), col("mtime")))
     }
     // `iid`: a unique 8-byte surrogate id, frozen by the checkpoint. Every
     // heavy shuffle downstream — band/block/bucket explosions, edge frames,
@@ -104,7 +120,7 @@ object Dedup {
       (if (needCaption) Seq(col("caption")) else Nil) ++
       (if (hasRole) Seq(col("role")) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(col("phash")) else Nil)
-    graft.util.Seal(filtered.select(cols: _*))
+    graft.util.Seal(src.select(cols: _*))
   }
 
   /** Candidate edges from every enabled source, unioned.
@@ -167,8 +183,9 @@ object Dedup {
         (graft.util.Seal(Candidates.exactEdges(keyed, "iid", "key")), None)
       }}) ++
       (if (cfg.enableCaptionLsh) Seq(Future { tagged("caption_lsh") {
+        // captionLshEdges output is already sealed by its own CacheScope
         val (e, m) = Candidates.captionLshEdges(features, "iid", "caption", cfg.near)
-        (graft.util.Seal(e), Some(srcMetrics("caption_lsh", m)))
+        (e, Some(srcMetrics("caption_lsh", m)))
       }}) else Nil) ++
       (if (cfg.enablePhashHamming) Seq(Future { tagged("phash_hamming") {
         // phashHammingEdges output is already sealed by its own CacheScope
@@ -198,7 +215,10 @@ object Dedup {
     // themselves below — skips the node-universe union-distinct, its count
     // barrier, and the final universe join (flat per-run jobs at scale)
     val cc = ConnectedComponents.runMapping(edges)
-    filtered
+    // dropNullBytes: this contract carries every input column (bytes is in
+    // the output scan anyway), and null-byte rows are excluded from the
+    // engine everywhere — featurize already kept them out of `edges`
+    dropNullBytes(filtered)
       .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
   }
@@ -269,8 +289,10 @@ object Dedup {
       // persisted BEFORE the count: `fresh` is read twice (metrics count +
       // cache merge) and feeds the downstream key join — without the persist
       // every consumer re-reads and re-sha2s the missed bytes, doubling the
-      // dominant IO of a cold run.
-      val fresh = filtered.join(missIds, Seq("image_id"), "left_semi")
+      // dominant IO of a cold run. dropNullBytes here (this scan reads
+      // bytes anyway): null-byte rows are lookup misses that must never be
+      // hashed into the cache — see filterRows.
+      val fresh = dropNullBytes(filtered.join(missIds, Seq("image_id"), "left_semi"))
         .select(col("image_id"),
                 Keys.contentHash(col("bytes"), cfg.key.fullHash).as("hash_value"),
                 current_timestamp().as("updated_at"))
@@ -292,6 +314,12 @@ object Dedup {
           .toDF("metric", "value"),
         s"$stateRoot/metrics_hash", "hash_metrics")
       val hashed = filtered.join(allHashes, Seq("image_id"))
+      // slim per-run row set (image_id, role): the working universe after
+      // the null-byte drop. The actions stage joins THIS snapshot instead
+      // of re-scanning the (100 TB) input table — resume never touches the
+      // raw corpus again, and no stage after this one reads `bytes` at all.
+      TableIO.commit(hashed.select("image_id", "role"),
+        s"$stateRoot/rows", "rows")
       val (e, m) = candidateEdges(hashed, cfg, hashCol = Some("hash_value"))
       TableIO.commit(m, s"$stateRoot/metrics_candidates", "candidate_metrics")
       e
@@ -304,7 +332,11 @@ object Dedup {
       ConnectedComponents.runMapping(edges)
     }
     val actions = TableIO.stageCheckpoint(spark, s"$stateRoot/actions", "actions") {
-      val members = filtered
+      // the rows snapshot committed by the edges stage (fallback to the
+      // filtered input for state roots written before the snapshot existed)
+      val rows = TableIO.read(spark, s"$stateRoot/rows")
+        .getOrElse(dropNullBytes(filtered).select("image_id", "role"))
+      val members = rows
         .join(cc.withColumnRenamed("id", "image_id"), Seq("image_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("image_id")))
         .select("image_id", "role", "cluster_id")

@@ -9,10 +9,11 @@ import graft.schema.DedupConfig
   * efficiency ≥ 0.8 between N and 4N executors).
   *
   * No multi-node cluster exists in this sandbox, so the same flagship job
-  * runs at two parallelism levels — local[8] and local[32], with
-  * spark.sql.shuffle.partitions scaled with cores — on the IDENTICAL
-  * deterministic corpus (generation is seed-pure, so both sessions dedup
-  * byte-identical input). Efficiency = (T_N / T_4N) / 4.
+  * runs at two parallelism levels — local[4] and local[16] with CPU
+  * affinity pinned to exactly that many cores (SCALE_LEGS picks the
+  * pairing), spark.sql.shuffle.partitions scaled with cores — on the
+  * IDENTICAL deterministic corpus (generation is seed-pure, so both
+  * sessions dedup byte-identical input). Efficiency = (T_N / T_4N) / 4.
   *
   * Fairness rules (each models what a real N-core-per-node cluster gives
   * an executor, applied identically to both legs):
@@ -121,7 +122,8 @@ object ScalingBench {
     // right direction when DRAM streaming is the scaling ceiling)
     val extraConf: Seq[(String, String)] = sys.env.get("SCALE_EXTRA_CONF")
       .map(_.split(";").toSeq.filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) })
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+        .filter(_._1.nonEmpty)) // "=v" would mint an empty Spark conf key
       .getOrElse(Nil)
 
     def session(cores: Int): SparkSession = {
@@ -262,9 +264,17 @@ object ScalingBench {
         f""""imgs_per_sec_$c1":${n / t1}%.1f,"imgs_per_sec_$c2":${n / t2}%.1f,""" +
         f""""scaling_efficiency":${(t1 / t2) / (c2.toDouble / c1)}%.3f,"""
       } else ""
+    // JSON-escape the env-sourced conf string — a quote/backslash in
+    // SCALE_EXTRA_CONF must not unparse the whole artifact line
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val extraJson =
       if (extraConf.isEmpty) ""
-      else s""""extra_conf":"${extraConf.map { case (k, v) => s"$k=$v" }.mkString(";")}","""
+      else s""""extra_conf":"${jesc(extraConf.map { case (k, v) => s"$k=$v" }.mkString(";"))}","""
     val line =
       f"""{"metric":"scaling","n_images":$n,""" + legacy + extraJson +
         f""""legs":$legsJson,$pairsJson}"""

@@ -22,8 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // intermediate persists (candidate pipelines cache shingle/band
-      // frames) are scoped to one query — drop them so 27 queries don't
-      // accumulate executor cache pressure in one session
+      // frames) are scoped to one query — release the deferred scopes the
+      // write action just consumed, then drop any stragglers, so 27
+      // queries don't accumulate executor cache pressure in one session
+      graft.util.CacheScope.flushDeferred()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -178,18 +178,10 @@ object Candidates {
     *                            whose within-pairs qualify at Jaccard 1)
     * The engine edge source stars the groups (`captionLshEdges`);
     * pair-listing queries expand to member level (`expandRepPairs`). */
-  private[graft] def captionLshParts(df: DataFrame, idCol: String, captionCol: String,
-                                     cfg: NearDupConfig,
-                                     pairComplete: Boolean = false)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val Seq(repPairs, members, shingledReps, metrics) = CacheScope.sealMany { scope =>
-      val (p, m, s, mx) = captionLshPartsIn(df, idCol, captionCol, cfg, pairComplete)(scope)
-      Seq(p, m, s, mx)
-    }
-    (repPairs, members, shingledReps, metrics)
-  }
-
-  /** Lazy body of `captionLshParts` — see `pairsWithinBucketsIn`. */
+  /** Lazy body of the MinHash+LSH machinery — see `pairsWithinBucketsIn`.
+    * Consumers: `captionLshEdges` (flagship, sealed concurrent mode) and
+    * DocOps.minhashLshPairs/minhashLshEdges (query surfaces, deferred
+    * mode). */
   private[graft] def captionLshPartsIn(df: DataFrame, idCol: String, captionCol: String,
                                        cfg: NearDupConfig,
                                        pairComplete: Boolean = false)(scope: CacheScope)
@@ -246,10 +238,17 @@ object Candidates {
     * Returns (edges(id1,id2,kind), metrics). */
   def captionLshEdges(df: DataFrame, idCol: String, captionCol: String,
                       cfg: NearDupConfig): (DataFrame, DataFrame) = {
-    val (repPairs, members, _, metrics) = captionLshParts(df, idCol, captionCol, cfg)
-    val sameCaption = members.where(col("id") =!= col("rep"))
-      .select(col("rep").as("id1"), col("id").as("id2"), lit("caption_exact").as("kind"))
-    (repPairs.withColumn("kind", lit("caption_lsh")).unionByName(sameCaption), metrics)
+    // seal exactly the TWO frames the flagship consumes (edges, metrics) —
+    // sealing the four parts individually and then the union again cost
+    // four extra checkpoint jobs per run for intermediates nothing reads
+    val Seq(edges, metrics) = CacheScope.sealMany { scope =>
+      val (repPairs, members, _, mx) =
+        captionLshPartsIn(df, idCol, captionCol, cfg)(scope)
+      val sameCaption = members.where(col("id") =!= col("rep"))
+        .select(col("rep").as("id1"), col("id").as("id2"), lit("caption_exact").as("kind"))
+      Seq(repPairs.withColumn("kind", lit("caption_lsh")).unionByName(sameCaption), mx)
+    }
+    (edges, metrics)
   }
 
   /** Expand rep-level verified pairs back to member level — the exact pair
@@ -349,9 +348,17 @@ object Candidates {
       .join(cold.select(col(idCol).as("_iid"), col(hashCol).as("_ih"), col("_k"))
                 .hint("SHUFFLE_HASH"),
             Seq("_k"))
-      .where(col("_pid") < col("_iid") &&
+      // least/greatest, NOT a `_pid < _iid` filter: a qualifying pair must
+      // survive if EITHER side's band bucket is cold (the dfCap drops hot
+      // buckets from the index side only, so when the smaller id sits in
+      // hot buckets for every qualifying band, the larger id's probe into
+      // the smaller id's cold bucket is the pair's only surviving
+      // orientation — an ordered filter lost it). distinct dedups the
+      // double-found pairs.
+      .where(col("_pid") =!= col("_iid") &&
              Keys.hammingDist(col("_ph"), col("_ih")) <= radius)
-      .select(col("_pid").as("id1"), col("_iid").as("id2"),
+      .select(least(col("_pid"), col("_iid")).as("id1"),
+              greatest(col("_pid"), col("_iid")).as("id2"),
               Keys.hammingDist(col("_ph"), col("_ih")).as("hamming_d"))
       .distinct()
     // the logged truncation for the no-silent-caps rule (reads cached

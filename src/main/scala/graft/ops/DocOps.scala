@@ -30,7 +30,7 @@ object DocOps {
     * verified with exact integer Jaccard over the full shingle sets.
     * Output: (doc1, doc2, n_inter, n_union). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, thresholdPct: Int): DataFrame = CacheScope.seal { scope =>
+                   k: Int, thresholdPct: Int): DataFrame = CacheScope.deferred { scope =>
     // distinct shingles as 8-byte JVM hashes (see Candidates.containmentEdges
     // — set identity is preserved modulo 64-bit collisions ~1e-19/pair)
     val withSh = scope.persistEager(docs
@@ -70,10 +70,10 @@ object DocOps {
     * `jaccardPairs` ids whenever LSH recall is 1 (the S-curve at the
     * corpus' planted similarities makes misses ~1e-8). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      cfg: NearDupConfig): DataFrame = {
+                      cfg: NearDupConfig): DataFrame = CacheScope.deferred { scope =>
     val (repPairs, members, shingledReps, _) =
-      graft.candidates.Candidates.captionLshParts(docs, idCol, textCol, cfg,
-        pairComplete = true)
+      graft.candidates.Candidates.captionLshPartsIn(docs, idCol, textCol, cfg,
+        pairComplete = true)(scope)
     graft.candidates.Candidates.expandRepPairs(repPairs, members, shingledReps)
       .select(col("id1").as("doc1"), col("id2").as("doc2"))
   }
@@ -89,10 +89,10 @@ object DocOps {
     * verification sees exactly the pairs the listing form verifies.
     * Output (doc1, doc2). */
   def minhashLshEdges(docs: DataFrame, idCol: String, textCol: String,
-                      cfg: NearDupConfig): DataFrame = {
+                      cfg: NearDupConfig): DataFrame = CacheScope.deferred { scope =>
     val (repPairs, members, shingledReps, _) =
-      graft.candidates.Candidates.captionLshParts(docs, idCol, textCol, cfg,
-        pairComplete = true)
+      graft.candidates.Candidates.captionLshPartsIn(docs, idCol, textCol, cfg,
+        pairComplete = true)(scope)
     val stars = members.join(shingledReps, Seq("rep"), "left_semi")
       .where(col("id") =!= col("rep"))
       .select(col("rep").as("doc1"), col("id").as("doc2"))
@@ -108,7 +108,7 @@ object DocOps {
     * bucket sizes — a naive first-shingle key degenerates quadratically
     * when many texts share a prefix. Output (short_id, long_id). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       k: Int): DataFrame = CacheScope.seal { scope =>
+                       k: Int): DataFrame = CacheScope.deferred { scope =>
     // shingles are JVM-hashed longs (see Candidates.containmentEdges —
     // block identity only; the substring verify uses the strings)
     // eager: feeds several AQE-concurrent exchanges (see CacheScope.persistEager)
@@ -169,7 +169,7 @@ object DocOps {
     * Output (doc1, doc2, hamming_d), doc1 < doc2. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    cfg: NearDupConfig): DataFrame =
-    CacheScope.seal(simhashPairsIn(docs, idCol, textCol, cfg)(_))
+    CacheScope.deferred(simhashPairsIn(docs, idCol, textCol, cfg)(_))
 
   /** Lazy body of `simhashPairs` (intermediates persist into `scope`;
     * plan-shape tests inspect this un-sealed form). */

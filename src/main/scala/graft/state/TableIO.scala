@@ -42,6 +42,10 @@ object TableIO {
     * snapshot directory, then atomically renames a manifest temp file over
     * the live manifest — readers either see the old snapshot or the new one.
     * Returns the committed snapshot. */
+  // observation names must be unique across CONCURRENT commits (HashCache
+  // merge commits its touched partitions in parallel, all stage "hash_cache")
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong
+
   def commit(df: DataFrame, root: String, stage: String): Snapshot = {
     val parent = lastSnapshot(root).map(_.id).getOrElse(-1L)
     val id = parent + 1
@@ -49,7 +53,8 @@ object TableIO {
     // row count observed DURING the write (one job) — the old re-read of the
     // just-written parquet was a full second pass per stage commit, at a
     // 100 TB edges snapshot a second scan of the whole table
-    val obs = org.apache.spark.sql.Observation(s"graft-commit-$stage-$id")
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-commit-$stage-$id-${obsSeq.incrementAndGet()}")
     df.observe(obs, count(lit(1)).as("rows"))
       .write.mode(SaveMode.Overwrite).parquet(dataDir)
     val rows = obs.get("rows").asInstanceOf[Long]
@@ -149,38 +154,50 @@ object HashCache {
   /** Upsert `fresh` (image_id, hash_value, updated_at) into the cache at
     * `root`: newest row per image_id wins; expired rows (older than the TTL
     * relative to the newest updated_at ever merged) are dropped. Only
-    * partitions containing fresh ids are rewritten. */
-  def merge(spark: SparkSession, root: String, fresh: DataFrame): DataFrame = {
+    * partitions containing fresh ids are rewritten — and the ≤ NumParts
+    * touched-partition commits are submitted CONCURRENTLY (they write
+    * disjoint sub-tables; the shared seal pool bounds scheduler pressure),
+    * so a merge costs ~one commit wave, not a sequential job per
+    * partition. Returns Unit: the engine derives its working hash table
+    * from hits ∪ fresh directly (see Dedup.runCheckpointed) — the old
+    * eagerly-rebuilt readAll return was a free barrier every caller
+    * discarded. An empty `fresh` is a no-op. */
+  def merge(spark: SparkSession, root: String, fresh: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val freshP = fresh.withColumn("_p", partOf(col("image_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = freshP.select("_p").distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ NumParts values — driver-safe
-    val freshMax = fresh.agg(max("updated_at")).first()
-      .getTimestamp(0)
-    val horizon = readHorizon(root) match {
-      case Some(h) if h.after(freshMax) => h
-      case _ => freshMax
-    }
-    for (p <- touched) {
-      val part = partRoot(root, p)
-      val freshPart = freshP.where(col("_p") === p).drop("_p")
-      val unioned = TableIO.read(spark, part) match {
-        case Some(existing) => existing.unionByName(freshPart)
-        case None => freshPart
+    try {
+      val touched = freshP.select("_p").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ NumParts values — driver-safe
+      if (touched.isEmpty) return // nothing fresh: no horizon move, no commits
+      val freshMax = freshP.agg(max("updated_at")).first().getTimestamp(0)
+      require(freshMax != null, "fresh rows must carry updated_at")
+      val horizon = readHorizon(root) match {
+        case Some(h) if h.after(freshMax) => h
+        case _ => freshMax
       }
-      val w = Window.partitionBy("image_id")
-        .orderBy(col("updated_at").desc, col("hash_value"))
-      val live = unioned
-        .withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn")
-        .where(col("updated_at") >=
-          lit(horizon).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
-      TableIO.commit(live, part, "hash_cache")
-    }
-    writeHorizon(root, horizon)
-    freshP.unpersist()
-    readAll(spark, root).get
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = graft.util.CacheScope.sealEc
+      val commits = touched.toSeq.map { p => Future {
+        val part = partRoot(root, p)
+        val freshPart = freshP.where(col("_p") === p).drop("_p")
+        val unioned = TableIO.read(spark, part) match {
+          case Some(existing) => existing.unionByName(freshPart)
+          case None => freshPart
+        }
+        val w = Window.partitionBy("image_id")
+          .orderBy(col("updated_at").desc, col("hash_value"))
+        val live = unioned
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+          .where(col("updated_at") >=
+            lit(horizon).cast("timestamp") - expr(s"INTERVAL $TtlDays DAYS"))
+        TableIO.commit(live, part, "hash_cache"): Unit
+      }}
+      Await.result(Future.sequence(commits), Duration.Inf)
+      writeHorizon(root, horizon)
+    } finally freshP.unpersist()
   }
 
   /** Hashes for `ids` (image_id) resolved cache-first: (cached hits,

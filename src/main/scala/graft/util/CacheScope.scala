@@ -9,25 +9,33 @@ import org.apache.spark.storage.StorageLevel
   * salted bucket rows, ranked windows) must be persisted — but a persist
   * with no matching unpersist accumulates in the session's cache manager,
   * and a long-lived session composing many operators slowly squeezes
-  * executor storage out from under the shuffles that need it. The pattern
-  * here makes the leak structurally impossible:
+  * executor storage out from under the shuffles that need it. Two
+  * lifecycles make the leak structurally impossible:
   *
-  *   - intermediates register through `scope.persist`;
-  *   - the operator's OUTPUT is materialized eagerly (`Seal` —
-  *     localCheckpoint by default, a reliable checkpoint when
-  *     spark.graft.checkpoint.dir is set for multi-node runs), which
-  *     truncates its lineage off the scoped frames;
-  *   - the scope then releases every registered persist (try/finally,
-  *     so failures release too).
+  *   - CONCURRENT mode (`seal`/`sealMany`): the operator's OUTPUT is
+  *     materialized eagerly (`Seal` — localCheckpoint by default, a
+  *     reliable checkpoint when spark.graft.checkpoint.dir is set), which
+  *     truncates its lineage off the scoped frames; the scope then releases
+  *     every registered persist synchronously (try/finally). This is the
+  *     mode for the flagship pipeline, where independent candidate sources
+  *     run as concurrent jobs over shared frames.
+  *   - DEFERRED mode (`deferred`): the operator returns its LAZY plan —
+  *     no checkpoint job, no count barriers — and the scope parks in a
+  *     pending list until the single downstream consumer has run its one
+  *     action and calls `flushDeferred()`. This is the mode for the
+  *     query surfaces (SparkEntry.queries), where exactly one action ever
+  *     consumes the output: every eager barrier the concurrent mode pays
+  *     is a flat job-boundary cost the one consuming action can absorb
+  *     (measured round 4: 0.6-0.77 idle at 32 cores on the pair-listing
+  *     queries came from seal/persist barriers, not compute).
   *
   * Checkpointed outputs live as plain RDD blocks outside the SQL cache
   * manager and are reclaimed by the ContextCleaner once unreferenced, so
-  * after any operator returns, the session's cache manager is empty
-  * (asserted by PlanShapeSpec). A second win: sealed operators are
-  * independent Spark jobs, so the engine can run several candidate
-  * sources CONCURRENTLY on one session (see Dedup.candidateEdges).
+  * after any concurrent-mode operator returns — and after any consumer
+  * flushes the deferred scopes it drained — the session's cache manager is
+  * empty (asserted by PlanShapeSpec).
   */
-final class CacheScope {
+final class CacheScope(val eagerBarriers: Boolean = true) {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) for the life of this scope. */
@@ -36,17 +44,22 @@ final class CacheScope {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Persist and MATERIALIZE `df` before returning it. A lazy persist is
-    * not enough when the frame feeds two or more downstream exchanges: AQE
-    * submits every ready shuffle-map stage CONCURRENTLY, and jobs racing
-    * into a not-yet-built cache each recompute the full subtree (measured:
-    * the containment source's scan+shingle pass ran 2-3× per query, ~500
-    * CPU core-s each at 1M captions, with its persist never hit). The
-    * count() barrier costs one extra job but runs inside the operator's own
-    * future, overlapped with the other candidate sources. */
+  /** Persist `df`, MATERIALIZING it first in concurrent mode. A lazy
+    * persist is not enough when the frame feeds two or more downstream
+    * CHECKPOINT JOBS: AQE submits every ready shuffle-map stage
+    * CONCURRENTLY, and jobs racing into a not-yet-built cache each
+    * recompute the full subtree (measured: the containment source's
+    * scan+shingle pass ran 2-3× per query, ~500 CPU core-s each at 1M
+    * captions, with its persist never hit). The count() barrier costs one
+    * extra job but runs inside the operator's own future, overlapped with
+    * the other candidate sources.
+    *
+    * In deferred mode there are no seal jobs to race — the single
+    * consumer's one action materializes the whole chain — so this degrades
+    * to a lazy persist and the barrier job disappears. */
   def persistEager(df: DataFrame): DataFrame = {
     val p = persist(df)
-    p.count()
+    if (eagerBarriers) p.count()
     p
   }
 
@@ -63,8 +76,9 @@ object CacheScope {
 
   // seal jobs of ONE sealMany call run concurrently (they are independent
   // reads of already-materialized scoped caches); a small shared daemon pool
-  // bounds the extra scheduler pressure
-  private lazy val sealEc: scala.concurrent.ExecutionContext =
+  // bounds the extra scheduler pressure. private[graft]: HashCache.merge
+  // reuses it for its concurrent per-partition snapshot commits.
+  private[graft] lazy val sealEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(4, (r: Runnable) => {
         val t = new Thread(r, "graft-seal"); t.setDaemon(true); t
@@ -73,11 +87,15 @@ object CacheScope {
   /** Build several outputs inside ONE fresh scope (they may share scoped
     * intermediates), seal each eagerly, release the scope.
     *
-    * The seals are submitted CONCURRENTLY: every scoped intermediate was
-    * already materialized by `persistEager`, so each output's checkpoint job
-    * only reads built caches — sequential seals paid the sum of their
-    * barriers (the round-3 eager-seal regression on the pair-listing
-    * queries), concurrent seals pay roughly the max. */
+    * The seals are submitted CONCURRENTLY. Safety invariant: the scope must
+    * contain at least one EAGER barrier (`persistEager`) whose lineage
+    * covers every lazy `persist` in it — the barrier's count() builds all
+    * covered caches in one job, so by seal time the concurrent checkpoint
+    * jobs only READ built caches. (Lazy persists whose materialization
+    * relied on "some downstream job will traverse them first" are exactly
+    * the race `persistEager` exists to prevent.) Sequential seals paid the
+    * sum of their barriers — the round-3 eager-seal regression on the
+    * pair-listing queries; concurrent seals pay roughly the max. */
   def sealMany(body: CacheScope => Seq[DataFrame]): Seq[DataFrame] = {
     val scope = new CacheScope
     try {
@@ -90,5 +108,40 @@ object CacheScope {
         Future.sequence(outs.map(df => Future(Seal(df)))),
         Duration.Inf)
     } finally scope.close()
+  }
+
+  // scopes whose persists outlive the operator call — released by the
+  // consumer via flushDeferred() after its action. ConcurrentLinkedQueue:
+  // deferred operators may be composed from multiple threads.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[CacheScope]
+
+  /** Build output(s) inside a fresh DEFERRED scope and return them LAZILY:
+    * no checkpoint job, no count barriers (persistEager degrades to a lazy
+    * persist). The scoped persists stay registered so the consumer's single
+    * action — which materializes the whole chain, building each cache the
+    * first time its subtree is traversed — still reuses every shared
+    * intermediate; the consumer releases them afterwards with
+    * `flushDeferred()` (Bench/Verify do this after every query action; a
+    * composed query may hold several deferred scopes at once, e.g.
+    * q_doc_pipeline's three candidate sources).
+    *
+    * This is the single-consumer fast path: a pair-listing query surface
+    * pays ZERO operator-side jobs — its one action does all the work with
+    * no idle job-boundary gaps. The flagship keeps `sealMany` (its sources
+    * race concurrently over shared frames and need real barriers). */
+  def deferred[A](body: CacheScope => A): A = {
+    val scope = new CacheScope(eagerBarriers = false)
+    val out =
+      try body(scope)
+      catch { case t: Throwable => scope.close(); throw t }
+    pending.add(scope)
+    out
+  }
+
+  /** Release every pending deferred scope's persists. Call after the
+    * action that consumed the deferred operator output(s). Idempotent. */
+  def flushDeferred(): Unit = {
+    var s = pending.poll()
+    while (s != null) { s.close(); s = pending.poll() }
   }
 }

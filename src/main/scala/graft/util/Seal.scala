@@ -31,7 +31,24 @@ object Seal {
   /** Materialize `df` (eagerly or lazily) with lineage truncation —
     * localCheckpoint by default, reliable checkpoint when `ConfKey` is set.
     * The SparkContext checkpoint dir is initialized on first use (a second
-    * setCheckpointDir call with the same value is a no-op-equivalent). */
+    * setCheckpointDir call with the same value is a no-op-equivalent).
+    *
+    * Reliable mode details:
+    *   - the frame is persisted around the checkpoint so the checkpoint
+    *     write job reads cached blocks instead of recomputing the whole
+    *     plan (the classic reliable-checkpoint double-compute), and the
+    *     scratch cache is released once the files are written;
+    *   - reliable seals are always EAGER, even when the caller asked for a
+    *     lazy one (a lazy reliable checkpoint has no well-defined point to
+    *     release its scratch persist, and recomputes at write time) — the
+    *     one extra job per CC batch is the durability mode's price;
+    *   - checkpoint FILES are not reclaimed by the ContextCleaner unless
+    *     the session was built with
+    *     spark.cleaner.referenceTracking.cleanCheckpoints=true (it must be
+    *     set before SparkContext start — this library cannot retrofit it).
+    *     Long-lived reliable-mode deployments should set that conf, or
+    *     point ConfKey at a per-run directory and delete it after the
+    *     run's TableIO stage snapshots commit. */
   def apply(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
@@ -40,7 +57,9 @@ object Seal {
         // setCheckpointDir mints a fresh UUID subdir per call — set once
         // (a mid-session conf change keeps the first directory)
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
       case _ =>
         df.localCheckpoint(eager)
     }

@@ -88,6 +88,27 @@ class CandidatesSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == "far" || p._2 == "far"))
   }
 
+  test("multi-index Hamming: pair survives when only the LARGER id's probe " +
+       "finds it (hot buckets around the larger id, cold around the smaller)") {
+    // regression for the `_pid < _iid` orientation loss: dfCap drops hot
+    // band buckets from the INDEX side only, so when the larger id (zBig)
+    // sits in hot buckets for every band, the pair's ONLY surviving path is
+    // zBig-as-probe hitting aSmall's cold bucket — which the ordered filter
+    // (probe id < index id) rejected. least/greatest must keep it.
+    val bHash = 0x7777777777777777L
+    // 7 flips: 2 in chunk0, 2 in chunk1, 2 in chunk2, 1 in chunk3 —
+    // pigeonhole guarantees zBig's 1-flip probe of chunk3 reaches aSmall
+    val aHash = bHash ^ (0x3L | (0x3L << 16) | (0x3L << 32) | (1L << 48))
+    val rows = Seq(("a_small", aHash), ("z_big", bHash)) ++
+      (1 to 6).map(i => (s"f_$i", bHash)) // fillers make every zBig bucket hot
+    val pairs = Candidates.multiIndexHammingPairs(rows.toDF("id", "h"), "id", "h",
+      bands = 4, subRadius = 1, radius = 7, dfCap = 4)
+      .select("id1", "id2", "hamming_d")
+      .as[(String, String, Int)].collect().toSet
+    assert(pairs.contains(("a_small", "z_big", 7)),
+      s"orientation-dependent pair lost: $pairs")
+  }
+
   test("containment edges: short ⊂ long found via first-shingle block") {
     val df = Seq(
       ("a", "one two three four five"),

@@ -113,8 +113,13 @@ class PlanShapeSpec extends SparkSpec {
     }
     def assertClean(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
       body.count()
+      // deferred-mode operators hold their scoped persists until the
+      // consumer's post-action flush — the contract every consumer
+      // (Bench, Verify, specs) follows; concurrent-mode operators must be
+      // clean with no flush at all, and the flush is a no-op for them
+      graft.util.CacheScope.flushDeferred()
       assert(cacheManagerEmpty,
-        s"$tag must release every persist after its action")
+        s"$tag must release every persist after its action + flush")
     }
     assertClean("jaccardPairs")(
       graft.ops.DocOps.jaccardPairs(docs, "doc_id", "text", 3, 80))

@@ -1,13 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.scalatest.BeforeAndAfterAll
+import org.scalatest.{BeforeAndAfterAll, BeforeAndAfterEach}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM, forked by sbt). */
-trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll with BeforeAndAfterEach {
   lazy val spark: SparkSession = SparkSpec.session
   override def afterAll(): Unit = () // session shared across suites
+  override def afterEach(): Unit =
+    // deferred-mode operators park their scoped persists until the consumer
+    // flushes; specs are consumers, so release after every test to keep the
+    // shared session's cache manager from accumulating scopes across suites
+    graft.util.CacheScope.flushDeferred()
 }
 
 object SparkSpec {

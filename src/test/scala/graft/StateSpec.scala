@@ -50,8 +50,9 @@ class StateSpec extends SparkSpec {
     HashCache.merge(spark, root,
       Seq(("img1", "h1", t0), ("img2", "h2", t0), ("img3", "hOld", tOld))
         .toDF("image_id", "hash_value", "updated_at"))
-    val after = HashCache.merge(spark, root,
+    HashCache.merge(spark, root,
       Seq(("img1", "h1b", t1)).toDF("image_id", "hash_value", "updated_at"))
+    val after = HashCache.readAll(spark, root).get
     val m = after.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m("img1") == "h1b", "newest hash wins the upsert")
     assert(m.get("img2").contains("h2"), "fresh rows survive")
@@ -118,12 +119,31 @@ class StateSpec extends SparkSpec {
     }
     val before = fileDigests(pA)
     // second merge touches only idB's partition
-    val after2 = HashCache.merge(spark, root,
+    HashCache.merge(spark, root,
       Seq((idB, "hB", t0)).toDF("image_id", "hash_value", "updated_at"))
     assert(fileDigests(pA) == before,
       s"partition p=$pA held no fresh ids and must not be rewritten")
+    val after2 = HashCache.readAll(spark, root).get
     assert(after2.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
       Map(idA -> "hA", idB -> "hB"), "both merges visible in readAll")
     assert(pA != pB)
+  }
+
+  test("HashCache.merge: empty fresh frame is a no-op (no NPE, no horizon move)") {
+    // regression: freshMax was read off an empty aggregate (null) and fed
+    // into writeHorizon / Timestamp.after → NPE; a never-written cache then
+    // blew up on readAll(...).get
+    val root = tmpDir()
+    val empty = Seq.empty[(String, String, java.sql.Timestamp)]
+      .toDF("image_id", "hash_value", "updated_at")
+    HashCache.merge(spark, root, empty) // never-written cache
+    assert(HashCache.readAll(spark, root).isEmpty, "no partitions committed")
+    val t0 = new java.sql.Timestamp(System.currentTimeMillis())
+    HashCache.merge(spark, root,
+      Seq(("img1", "h1", t0)).toDF("image_id", "hash_value", "updated_at"))
+    HashCache.merge(spark, root, empty) // written cache: still a no-op
+    val m = HashCache.readAll(spark, root).get
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("img1" -> "h1"))
   }
 }
