@@ -87,7 +87,11 @@ object Bench {
     // image encode cost stays outside the timed windows
     Corpus.cached(spark, 150, 40)
     Corpus.cached(spark, 80, 20)
+    // BENCH_ONLY=q_a,q_b restricts the sweep (dev iteration; the driver
+    // never sets it, so contract runs always cover every query)
+    val only = sys.env.get("BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val runs = scala.collection.mutable.Map.empty[String, Vector[Timing]]
       .withDefaultValue(Vector.empty)
     val errors = scala.collection.mutable.Map.empty[String, String]
@@ -129,14 +133,18 @@ object Bench {
       for (name <- names; if needsRetry(name))
         runOnce(name) { SparkEntry.queries(name)(spark, sfDir).count(): Unit }
     // flagship throughput: input materialized before the timer
-    val corpus = Corpus.cached(spark,
-      sys.env.getOrElse("BENCH_CLUSTERS", "3000").toInt,
-      sys.env.getOrElse("BENCH_SKEW", "500").toInt)
-    val nImages = corpus.count()
-    for (r <- 1 to repeats; if !errors.contains("flagship"))
-      runOnce("flagship") { Dedup.run(corpus, DedupConfig()).count(): Unit }
-    while (needsRetry("flagship"))
-      runOnce("flagship") { Dedup.run(corpus, DedupConfig()).count(): Unit }
+    val runFlagship = only.forall(_.contains("flagship"))
+    val nImages = if (!runFlagship) 0L else {
+      val corpus = Corpus.cached(spark,
+        sys.env.getOrElse("BENCH_CLUSTERS", "3000").toInt,
+        sys.env.getOrElse("BENCH_SKEW", "500").toInt)
+      val n = corpus.count()
+      for (r <- 1 to repeats; if !errors.contains("flagship"))
+        runOnce("flagship") { Dedup.run(corpus, DedupConfig()).count(): Unit }
+      while (needsRetry("flagship"))
+        runOnce("flagship") { Dedup.run(corpus, DedupConfig()).count(): Unit }
+      n
+    }
     val flagship = reported("flagship")
     def jmap(sel: Timing => Double): String = names.map { k =>
       "\"" + k + "\":" +

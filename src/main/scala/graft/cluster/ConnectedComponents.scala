@@ -41,6 +41,19 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** Edge count below which `roundsPerJob` auto-resolves to 1 (un-chained
+    * rounds). Chaining two rounds per job QUADRUPLES the per-batch logical
+    * plan (round() scans its input twice and its large-star frame twice),
+    * and per-batch cost is super-linear in plan size on the driver (AQE
+    * re-optimizes the whole plan at every exchange materialization).
+    * Measured on a 250-edge graph, warm: rpj=1 2.3 s vs rpj=2 4.5 s vs
+    * rpj=4 50-145 s — below the threshold the batch is driver-planning-
+    * bound and chaining is counterproductive. Above it task execution
+    * dominates and chaining halves the materialization barriers (the flat
+    * cost that caps scaling efficiency at high core counts — the 4M-image
+    * ScalingBench regime, ~2-4M edges, keeps rpj=2). */
+  val AutoChainEdges = 1L << 20
+
   /** run + (rounds, finalEdgeCount) for tests/metrics.
     *
     * `roundsPerJob`: large-star/small-star rounds chained per materialized
@@ -49,9 +62,11 @@ object ConnectedComponents {
     * barriers are flat cost that caps scaling efficiency, and component
     * diameters shrink so fast (squared per round) that typical inputs
     * converge in 3-5 rounds: batching 2 rounds per job halves the barrier
-    * count for at most one wasted round after convergence. */
+    * count for at most one wasted round after convergence. 0 (default) =
+    * adaptive: 1 below `AutoChainEdges` normalized edges, else 2 — see
+    * AutoChainEdges for the measured crossover. */
   def runWithStats(edges: DataFrame, maxIter: Int = 50,
-                   roundsPerJob: Int = 2): (DataFrame, Int, Long) = {
+                   roundsPerJob: Int = 0): (DataFrame, Int, Long) = {
     // tag every CC job for stage attribution (ScaleDiag, UIs)
     edges.sparkSession.sparkContext.setJobDescription("graft:cc")
     try runWithStatsIn(edges, maxIter, roundsPerJob)
@@ -60,16 +75,20 @@ object ConnectedComponents {
 
   private def runWithStatsIn(edges: DataFrame, maxIter: Int,
                              roundsPerJob: Int): (DataFrame, Int, Long) = {
-    // normalize once and materialize: every downstream read (node universe +
-    // first iteration) hits the persisted copy, never the caller's candidate
-    // DAG twice
+    // normalize once and materialize EAGERLY: every consumer plan scans e0
+    // at least twice (allNodes' union, round()'s nbrs union), and AQE
+    // races those scans into a lazily-persisted cache concurrently — each
+    // recomputing the caller's full candidate DAG (measured: deferred-mode
+    // LSH edges doubled q_doc_pipeline/q_dup_clusters until this barrier)
     val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val nE0 = e0.count()
+    val rpj = resolveChain(roundsPerJob, nE0)
     val allNodes = e0
       .select(col("src").as("id")).union(e0.select(col("dst").as("id")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     allNodes.count()
-    val (fin, iter, nEdges) = converge(e0, maxIter, roundsPerJob)
+    val (fin, iter, nEdges) = converge(e0, maxIter, rpj)
     // components: every node that appears as src points at its root (dst);
     // roots themselves and isolated nodes map to themselves.
     val roots = fin.groupBy("src").agg(min("dst").as("cluster_id"))
@@ -92,7 +111,7 @@ object ConnectedComponents {
     * node-universe join that `run` pays are pure overhead there (three of
     * the flat per-run jobs the scaling decomposition charged to CC). */
   def runMapping(edges: DataFrame, maxIter: Int = 50,
-                 roundsPerJob: Int = 2): DataFrame = {
+                 roundsPerJob: Int = 0): DataFrame = {
     edges.sparkSession.sparkContext.setJobDescription("graft:cc")
     try runMappingIn(edges, maxIter, roundsPerJob)
     finally edges.sparkSession.sparkContext.setJobDescription(null)
@@ -100,13 +119,22 @@ object ConnectedComponents {
 
   private def runMappingIn(edges: DataFrame, maxIter: Int,
                            roundsPerJob: Int): DataFrame = {
+    // eager for the same AQE-race reason as runWithStatsIn: round() scans
+    // e0 twice inside the first signature action
     val e0 = normalize(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val (fin, _, _) = converge(e0, maxIter, roundsPerJob)
+    val nE0 = e0.count()
+    val (fin, _, _) = converge(e0, maxIter, resolveChain(roundsPerJob, nE0))
     val out = graft.util.Seal(fin.groupBy("src").agg(min("dst").as("cluster_id"))
       .withColumnRenamed("src", "id"))
     fin.unpersist(); e0.unpersist()
     out
   }
+
+  /** 0 = adaptive on the measured normalized edge count (see
+    * AutoChainEdges); an explicit caller value always wins. */
+  private def resolveChain(roundsPerJob: Int, nEdges: Long): Int =
+    if (roundsPerJob > 0) roundsPerJob
+    else if (nEdges < AutoChainEdges) 1 else 2
 
   /** The alternating-rounds loop: iterate from persisted `e0` until the
     * edge set is stable; returns the persisted final frame (src > dst,

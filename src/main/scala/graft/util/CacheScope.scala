@@ -20,14 +20,15 @@ import org.apache.spark.storage.StorageLevel
   *     mode for the flagship pipeline, where independent candidate sources
   *     run as concurrent jobs over shared frames.
   *   - DEFERRED mode (`deferred`): the operator returns its LAZY plan —
-  *     no checkpoint job, no count barriers — and the scope parks in a
-  *     pending list until the single downstream consumer has run its one
-  *     action and calls `flushDeferred()`. This is the mode for the
+  *     no checkpoint job (the flat seal cost measured round 4 as 0.6-0.77
+  *     idle at 32 cores on the pair-listing queries) — and the scope parks
+  *     in a pending list until the single downstream consumer has run its
+  *     one action and calls `flushDeferred()`. This is the mode for the
   *     query surfaces (SparkEntry.queries), where exactly one action ever
-  *     consumes the output: every eager barrier the concurrent mode pays
-  *     is a flat job-boundary cost the one consuming action can absorb
-  *     (measured round 4: 0.6-0.77 idle at 32 cores on the pair-listing
-  *     queries came from seal/persist barriers, not compute).
+  *     consumes the output. Multi-exchange intermediates keep their eager
+  *     `persistEager` barrier even here — AQE races sub-stages of a single
+  *     action into unbuilt caches just like concurrent seal jobs (see
+  *     persistEager).
   *
   * Checkpointed outputs live as plain RDD blocks outside the SQL cache
   * manager and are reclaimed by the ContextCleaner once unreferenced, so
@@ -35,7 +36,7 @@ import org.apache.spark.storage.StorageLevel
   * flushes the deferred scopes it drained — the session's cache manager is
   * empty (asserted by PlanShapeSpec).
   */
-final class CacheScope(val eagerBarriers: Boolean = true) {
+final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) for the life of this scope. */
@@ -44,22 +45,21 @@ final class CacheScope(val eagerBarriers: Boolean = true) {
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Persist `df`, MATERIALIZING it first in concurrent mode. A lazy
-    * persist is not enough when the frame feeds two or more downstream
-    * CHECKPOINT JOBS: AQE submits every ready shuffle-map stage
-    * CONCURRENTLY, and jobs racing into a not-yet-built cache each
-    * recompute the full subtree (measured: the containment source's
-    * scan+shingle pass ran 2-3× per query, ~500 CPU core-s each at 1M
-    * captions, with its persist never hit). The count() barrier costs one
-    * extra job but runs inside the operator's own future, overlapped with
-    * the other candidate sources.
-    *
-    * In deferred mode there are no seal jobs to race — the single
-    * consumer's one action materializes the whole chain — so this degrades
-    * to a lazy persist and the barrier job disappears. */
+  /** Persist `df`, MATERIALIZING it before returning. A lazy persist is
+    * not enough when the frame feeds two or more downstream EXCHANGES: AQE
+    * materializes every ready shuffle-map stage CONCURRENTLY — across the
+    * seal jobs of a concurrent-mode scope AND across the sub-stages of one
+    * single consumer action — and jobs racing into a not-yet-built cache
+    * each recompute the full subtree (measured twice: the containment
+    * source's scan+shingle pass ran 2-3× per query, ~500 CPU core-s each
+    * at 1M captions, with its persist never hit; and an experiment making
+    * this lazy in deferred mode doubled q_doc_pipeline/q_dup_clusters at
+    * sf0.1 — one action is NOT one traversal). The count() barrier costs
+    * one extra job; in the flagship it runs inside the operator's own
+    * future, overlapped with the other candidate sources. */
   def persistEager(df: DataFrame): DataFrame = {
     val p = persist(df)
-    if (eagerBarriers) p.count()
+    p.count()
     p
   }
 
@@ -116,21 +116,21 @@ object CacheScope {
   private val pending = new java.util.concurrent.ConcurrentLinkedQueue[CacheScope]
 
   /** Build output(s) inside a fresh DEFERRED scope and return them LAZILY:
-    * no checkpoint job, no count barriers (persistEager degrades to a lazy
-    * persist). The scoped persists stay registered so the consumer's single
-    * action — which materializes the whole chain, building each cache the
-    * first time its subtree is traversed — still reuses every shared
-    * intermediate; the consumer releases them afterwards with
-    * `flushDeferred()` (Bench/Verify do this after every query action; a
-    * composed query may hold several deferred scopes at once, e.g.
-    * q_doc_pipeline's three candidate sources).
+    * no checkpoint job. The scoped persists stay registered so the
+    * consumer's single action still reuses every shared intermediate; the
+    * consumer releases them afterwards with `flushDeferred()` (Bench/Verify
+    * do this after every query action; a composed query may hold several
+    * deferred scopes at once, e.g. q_doc_pipeline's three candidate
+    * sources). `persistEager` barriers still run eagerly — see its doc for
+    * why one consumer action is not one traversal under AQE.
     *
-    * This is the single-consumer fast path: a pair-listing query surface
-    * pays ZERO operator-side jobs — its one action does all the work with
-    * no idle job-boundary gaps. The flagship keeps `sealMany` (its sources
-    * race concurrently over shared frames and need real barriers). */
+    * This is the single-consumer fast path: a query surface skips the
+    * output materialization the flagship needs (its sources race
+    * concurrently over shared frames, so their OUTPUTS must be sealed
+    * before the scope releases; a deferred output is consumed after the
+    * scope would have closed, hence the parked release instead). */
   def deferred[A](body: CacheScope => A): A = {
-    val scope = new CacheScope(eagerBarriers = false)
+    val scope = new CacheScope
     val out =
       try body(scope)
       catch { case t: Throwable => scope.close(); throw t }
