@@ -38,11 +38,16 @@ import graft.schema.DedupConfig
   *     `repeats_used`), so a reader can tell a genuinely slow plan
   *     (idle~0, steal~0) from a contended window.
   *
-  * Utilization baseline for regression triage (judge-measured, round 4,
-  * quiet window, local[32] sf0.1): flagship idle 0.70-0.74 — the 6.5k-image
-  * corpus cannot saturate 32 cores at every stage, so idle in that range is
-  * the norm, not a stall signal; idle well above it with steal~0 means new
-  * job-boundary gaps (the round-4 seal/persist regression signature).
+  * Utilization baseline for regression triage (round-5 steal-gated pair,
+  * local[32] sf0.1, BENCH_DIAG_R5_RUN{A,B}.json): flagship idle 0.53-0.55
+  * (was 0.70-0.74 in the round-4 judge window), q_dedup_pipeline ~0.64,
+  * q_dup_clusters ~0.70, q_minhash_lsh_pairs ~0.63, q_simhash_pairs ~0.65 —
+  * the 6.5k-image corpus cannot saturate 32 cores at every stage, so idle
+  * in that range is the norm, not a stall signal; idle well above it with
+  * steal~0 means new job-boundary gaps (the round-4 seal/persist
+  * regression signature). An AQE minPartitionSize=16k A/B (round 5) showed
+  * the residual idle is NOT post-shuffle coalescing: the floor is
+  * driver-side job planning/scheduling latency, amortized at real scale.
   *
   * Packaging: the stdout/BENCH_LINE.json line carries ONLY the compact
   * contract fields (total, per-query seconds, errors, flagship) — round 3's

@@ -19,10 +19,10 @@ import graft.schema.DedupConfig
   * an executor, applied identically to both legs):
   *   - CPU affinity is pinned to exactly `cores` CPUs for the leg's whole
   *     lifetime (`taskset -a -p`): otherwise the JVM's service threads —
-  *     GC, netty IO, shuffle compression — of the "8-core" leg silently
-  *     borrow the other 24 cores of this 32-core box, cores a real 8-core
-  *     node would not have, inflating the baseline and understating
-  *     scaling.
+  *     GC, netty IO, shuffle compression — of the narrow (e.g. 4-core) leg
+  *     silently borrow the other 28 cores of this 32-core box, cores a
+  *     real 4-core node would not have, inflating the baseline and
+  *     understating scaling.
   *   - The corpus is written once to parquet on tmpfs and re-SCANNED by
   *     every timed run (input IO is part of the job, and a parallel scan
   *     must scale with cores), and the session cache is cleared between
