@@ -26,9 +26,14 @@ object EmbeddingOps {
     * `dotQ` (plain long multiply-add, no float rounding) but one tight loop
     * instead of an interpreted `zip_with` + `aggregate` HOF pair that
     * allocates an intermediate array per evaluated row (the measured cost
-    * that motivated Keys.shingleLshUdf). Hot pair-scoring paths use this;
-    * `dotQ` remains the Column form the oracle SQL mirrors. */
-  private val dotQJvm = udf { (a: Seq[Long], b: Seq[Long]) =>
+    * that motivated Keys.shingleLshUdf). `Array[Long]` parameters, NOT
+    * `Seq[Long]`: the Seq form deserializes each array element through a
+    * boxed java.lang.Long (measured round 6: the label-blocked pair scans
+    * spent ~4 s at sf0.1 in one join job, dominated by 10⁸ boxings); the
+    * primitive-array form goes through `ArrayData.toLongArray` — one
+    * unboxed copy per side. Hot pair-scoring paths use this; `dotQ` remains
+    * the Column form the oracle SQL mirrors. */
+  private val dotQJvm = udf { (a: Array[Long], b: Array[Long]) =>
     val n = math.min(a.length, b.length)
     var acc = 0L; var i = 0
     while (i < n) { acc += a(i) * b(i); i += 1 }
@@ -51,16 +56,25 @@ object EmbeddingOps {
 
   /** Brute-force top-1 neighbor per vector, blocked by an exact partition
     * column (label): never a global cartesian — within-block join + window
-    * argmax. Output (vec_id, nn_id, dot_q). Ties broken by smaller nn_id. */
+    * argmax. Output (vec_id, nn_id, dot_q). Ties broken by smaller nn_id.
+    *
+    * Shape note (round 6): a SELF-join of the one frame `q` — both physical
+    * children are the identical Exchange(label) subtree, so AQE's stage
+    * reuse materializes the quantize scan ONCE and the second side reads
+    * the reused shuffle; no persist, no seal job (the old persist + sealed
+    * output cost two extra jobs per run for a single-consumer query
+    * surface). SHUFFLE_HASH keeps both sides shuffle exchanges (a broadcast
+    * on one side would defeat the reuse and recompute the scan). */
   def top1WithinLabel(emb: DataFrame, idCol: String, vecCol: String,
-                      labelCol: String): DataFrame = CacheScope.seal { scope =>
-    val q = scope.persist(
-      emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
-                 quantize(col(vecCol)).as("q")))
-    val pairs = q.select(col("vec_id"), col("label"), col("q"))
-      .join(q.select(col("vec_id").as("nn_id"), col("label"), col("q").as("q2")), "label")
-      .where(col("vec_id") =!= col("nn_id"))
-      .select(col("vec_id"), col("nn_id"), dotQJvm(col("q"), col("q2")).as("dot_q"))
+                      labelCol: String): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+                       quantize(col(vecCol)).as("q"))
+    val pairs = q.as("a")
+      .join(q.as("b").hint("SHUFFLE_HASH"),
+            col("a.label") === col("b.label") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+              dotQJvm(col("a.q"), col("b.q")).as("dot_q"))
     top1(pairs)
   }
 
@@ -72,12 +86,15 @@ object EmbeddingOps {
     * the label is replaced by `hyperplaneBucket`. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   labelCol: String, tauQ: Long): DataFrame = {
+    // self-join of one frame → both sides share one reused Exchange(label)
+    // (see top1WithinLabel's shape note)
     val q = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
                        quantize(col(vecCol)).as("q"))
-    q.select(col("id").as("id1"), col("label"), col("q").as("q1"))
-      .join(q.select(col("id").as("id2"), col("label"), col("q").as("q2")), "label")
-      .where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dotQJvm(col("q1"), col("q2")).as("dot_q"))
+    q.as("a")
+      .join(q.as("b").hint("SHUFFLE_HASH"),
+            col("a.label") === col("b.label") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+              dotQJvm(col("a.q"), col("b.q")).as("dot_q"))
       .where(col("dot_q") >= tauQ)
   }
 
@@ -153,7 +170,40 @@ object EmbeddingOps {
     * Output (vec_id, nn_id, dot_q) — approximate top-1 per vector. */
   def annTop1(emb: DataFrame, idCol: String, vecCol: String,
               dim: Int, nBits: Int = 8, nTables: Int = 8,
-              cap: Int = 256): DataFrame = CacheScope.seal { scope =>
+              cap: Int = 256): DataFrame =
+    if (cap == Int.MaxValue) annTop1Uncapped(emb, idCol, vecCol, dim, nBits, nTables)
+    else annTop1Capped(emb, idCol, vecCol, dim, nBits, nTables, cap)
+
+  /** `cap = Int.MaxValue` fast path: with the hot-bucket guard disabled,
+    * `oversized` is empty BY CONSTRUCTION, so the bucket-size aggregation,
+    * its broadcast join, and the salt explode/filter machinery the capped
+    * path pays are dead plan weight (two extra jobs per run). The candidate
+    * join collapses to a pure SELF-join of the exploded bucket frame — both
+    * physical children are the identical Exchange(table_id, bucket)
+    * subtree, so AQE stage reuse materializes the quantize+bucket UDF scan
+    * ONCE; no persist, no seal job (single-consumer query surface).
+    * SHUFFLE_HASH keeps both sides shuffle exchanges so the reuse holds. */
+  private def annTop1Uncapped(emb: DataFrame, idCol: String, vecCol: String,
+                              dim: Int, nBits: Int, nTables: Int): DataFrame = {
+    val bucketsUdf = hyperplaneBucketsUdf(dim, nBits, nTables)
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
+      .select(col("vec_id"), col("q"),
+              posexplode(bucketsUdf(col("q"))).as(Seq("table_id", "bucket")))
+    // score on the way into ONE hash aggregate — same rationale as the
+    // capped path's `pairs`
+    val pairs = q.as("a")
+      .join(q.as("b").hint("SHUFFLE_HASH"),
+            col("a.table_id") === col("b.table_id") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn_id"),
+              dotQJvm(col("a.q"), col("b.q")).as("dot_q"))
+    top1(pairs)
+  }
+
+  private def annTop1Capped(emb: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, nBits: Int, nTables: Int,
+                            cap: Int): DataFrame = CacheScope.seal { scope =>
     val bucketsUdf = hyperplaneBucketsUdf(dim, nBits, nTables)
     val q = scope.persist(
       emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("q"))
