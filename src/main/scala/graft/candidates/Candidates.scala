@@ -111,7 +111,13 @@ object Candidates {
       if (pairComplete) {
         // triangular tiles: left row (salt i) replicates to tiles (i, i..g-1),
         // right row (salt j) to tiles (0..j, j); tile (i,j) joins group i
-        // against group j — every unordered pair lands in exactly one tile
+        // against group j — every unordered pair lands in exactly one tile.
+        // (Round-6 note: a one-exchange union+collect_list+explode variant
+        // was tried and reverted — the two tile exchanges below are
+        // INDEPENDENT, so AQE materializes them concurrently and the join
+        // form adds no sequential barrier, while collect_list forces
+        // ObjectHashAggregate, whose sort-based fallback past 128 groups
+        // per partition re-sorts the whole exchange output.)
         val tileKeys = keyCols :+ "_i" :+ "_j"
         val left = salted
           .withColumn("_i", col("_salt"))
@@ -257,7 +263,16 @@ object Candidates {
     * `cliqueReps` (identical content ⇒ similarity 1 ⇒ qualifies, provided
     * the content produced a signature at all — callers pass the shingled
     * reps). Output is Θ(listing size), inherent to pair listing; the
-    * cluster pipeline never calls this (stars suffice there). */
+    * cluster pipeline never calls this (stars suffice there).
+    *
+    * PRECONDITION: `repPairs` is distinct (every caller's verify stage ends
+    * in a distinct candidate set joined 1:1 per side). The output is then
+    * distinct WITHOUT a final exchange: member→rep is functional, so a
+    * cross pair {m1,m2} determines its rep pair uniquely (no duplicate
+    * across rep pairs) and appears once per rep pair; cliques are ordered
+    * within-group pairs (unique); and cross (different reps) is disjoint
+    * from cliques (same rep). The old trailing `.distinct()` was a full
+    * extra shuffle of the listing — the operator's LARGEST frame. */
   def expandRepPairs(repPairs: DataFrame, members: DataFrame,
                      cliqueReps: DataFrame): DataFrame = {
     val cross = repPairs
@@ -270,7 +285,7 @@ object Candidates {
       .join(grouped.select(col("rep"), col("id").as("_b")), "rep")
       .where(col("_a") < col("_b"))
       .select(col("_a").as("id1"), col("_b").as("id2"))
-    cross.unionByName(cliques).distinct()
+    cross.unionByName(cliques)
   }
 
   /** Generic multi-index Hamming pair search over a 64-bit hash column
@@ -331,9 +346,15 @@ object Candidates {
         posexplode(Keys.hammingBands(col(hashCol), bands))
           .as(Seq("band_id", "band_val")))
       .select(col(idCol), col(hashCol), col("band_id"), col("band_val"), key))
+    // dfCap = Int.MaxValue ⇒ the cap is DISABLED (the exact-contract
+    // callers, e.g. SimHash): `hot` is empty by construction, so the
+    // bucket-frequency aggregate and the anti-join it fed are dead plan
+    // weight — two extra jobs per run at the driver's scale. Skip them and
+    // report a literal zero-truncation metrics row.
+    val capped = dfCap != Int.MaxValue
     val hot = indexed.groupBy("_k").agg(count(lit(1)).as("_df"))
       .where(col("_df") > dfCap)
-    val cold = indexed.join(hot, Seq("_k"), "left_anti")
+    val cold = if (capped) indexed.join(hot, Seq("_k"), "left_anti") else indexed
     val masks = Keys.flipMasks(width, subRadius)
     val probe = indexed.select(col(idCol).as("_pid"), col(hashCol).as("_ph"),
         col("band_id"),
@@ -363,8 +384,14 @@ object Candidates {
       .distinct()
     // the logged truncation for the no-silent-caps rule (reads cached
     // `indexed`; coalesce covers the no-hot-buckets empty aggregate)
-    val metrics = hot.agg(coalesce(count(lit(1)), lit(0L)).as("salted_buckets"),
-                          coalesce(sum(col("_df")), lit(0L)).as("salt_groups"))
+    val metrics =
+      if (capped)
+        hot.agg(coalesce(count(lit(1)), lit(0L)).as("salted_buckets"),
+                coalesce(sum(col("_df")), lit(0L)).as("salt_groups"))
+      else {
+        import df.sparkSession.implicits._
+        Seq((0L, 0L)).toDF("salted_buckets", "salt_groups")
+      }
     (pairs, metrics)
   }
 

@@ -39,10 +39,26 @@ object DocOps {
       .where(size(col("_sh")) > 0))
     val exploded = withSh.select(col("doc_id"), size(col("_sh")).as("nt"),
                                  explode(col("_sh")).as("s"))
+    // df lookup joins only the REPEATED shingles (absent ⇒ df = 1 — the
+    // minimum count() can produce, so the (df, s) ordering is unchanged,
+    // provably): the frequency frame shrinks from |vocabulary| to |shingles
+    // shared by ≥2 docs|, which AQE broadcasts on a near-dup-sparse corpus
+    // — the exploded frame is then never shuffled by shingle for the
+    // lookup. Same trick as containmentPairs / containmentEdgesIn, ported
+    // round 6 (the inner join against the full frequency table was this
+    // operator's largest exchange).
     val freq = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
-    val wDoc = Window.partitionBy("doc_id").orderBy(col("_df"), col("s"))
-    // integer ceil: ⌈nt·t⌉ = (nt·pct + 99) DIV 100
-    val prefix = scope.persistEager(exploded.join(freq, "s")
+      .where(col("_df") > 1)
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(coalesce(col("_df"), lit(1L)), col("s"))
+    // integer ceil: ⌈nt·t⌉ = (nt·pct + 99) DIV 100. persistEager, not a
+    // lazy persist or bare plan: the self-join below consumes prefix twice,
+    // and a round-6 experiment dropping the persist (betting on AQE stage
+    // reuse over canonically-equal exchanges) re-computed the window chain
+    // per side and regressed the query ~1 s at sf0.1 — the barrier job is
+    // cheaper than the double compute, and the cached frame lets AQE
+    // broadcast one side of the self-join (no exchange at all).
+    val prefix = scope.persistEager(exploded.join(freq, Seq("s"), "left")
       .withColumn("_rk", row_number().over(wDoc))
       .where(col("_rk") <= col("nt") - expr(s"(nt * $thresholdPct + 99) DIV 100") + 1)
       .select("doc_id", "s"))
@@ -213,7 +229,12 @@ object DocOps {
       .where(col("_a") < col("_b"))
       .select(col("_a").as("doc1"), col("_b").as("doc2"),
               lit(0).as("hamming_d"))
-    cross.unionByName(cliques).distinct()
+    // no trailing distinct: repPairs is distinct (multiIndexHammingPairsIn
+    // ends in one), member→rep is functional so cross pairs are unique, and
+    // cross (different reps) is disjoint from cliques (same rep) — see
+    // Candidates.expandRepPairs' precondition note. The old `.distinct()`
+    // re-shuffled the operator's largest frame for nothing.
+    cross.unionByName(cliques)
   }
 
   /** BPE-ish subtoken regex: alnum runs or single non-alnum-non-space marks
