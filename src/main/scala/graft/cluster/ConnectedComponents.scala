@@ -154,12 +154,19 @@ object ConnectedComponents {
     def round(cur: DataFrame): DataFrame = {
       val nbrs = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
       val wL = Window.partitionBy("src")
+      // no distinct between the stars (round 6): duplicates in the
+      // large-star output (two old sources of one node mapping to the same
+      // minimum) do not change the small-star window minimum, and the final
+      // distinct below dedups the round's output — the intermediate
+      // distinct was a full extra exchange per round for a frame the next
+      // window reshuffles anyway. The undeduped large output is ≤ |nbrs| =
+      // 2|E| rows, so the small-star shuffle grows at most 2× in the worst
+      // case while every round drops one exchange barrier.
       val large = nbrs
         .withColumn("m", least(min("dst").over(wL), col("src")))
         .where(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst")) // keep src > dst
         .where(col("src") =!= col("dst"))
-        .distinct()
       val wS = Window.partitionBy("src")
       val withMin = large.withColumn("m", min("dst").over(wS))
       withMin
