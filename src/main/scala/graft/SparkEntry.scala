@@ -27,16 +27,28 @@ object SparkEntry {
     * containment → connected components → canonical election) on the
     * deterministic synthetic image+caption corpus. Driver smoke-checks
     * rows > 0. */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    graft.util.Tuning.queryTuned(spark)
     Dedup.run(Corpus.generate(spark, nClusters = 250, skewCopies = 50).toDF(),
               DedupConfig())
+  }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   private val docLsh = NearDupConfig(jaccardThreshold = 0.8)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every declared query applies the engine's query-surface runtime confs
+    * before building its plan (graft.util.Tuning — AQE tiny-shuffle
+    * coalescing; env-overridable). Wrapped here so the frozen drivers
+    * (Bench/Verify) pick them up without touching their session builders. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries0.view.mapValues { f =>
+      (s: SparkSession, dir: String) =>
+        { graft.util.Tuning.queryTuned(s); f(s, dir) }
+    }.toMap
+
+  private def queries0: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core (reference operator inventory, SURVEY.md §2) ----
 
