@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 /** Operator-scoped persist management.
@@ -22,26 +22,31 @@ import org.apache.spark.storage.StorageLevel
   *   - DEFERRED mode (`deferred`): the operator returns its LAZY plan —
   *     no checkpoint job (the flat seal cost measured round 4 as 0.6-0.77
   *     idle at 32 cores on the pair-listing queries) — and the scope parks
-  *     in a pending list until the single downstream consumer has run its
-  *     one action and calls `flushDeferred()`. This is the mode for the
-  *     query surfaces (SparkEntry.queries), where exactly one action ever
-  *     consumes the output. Multi-exchange intermediates keep their eager
-  *     `persistEager` barrier even here — AQE races sub-stages of a single
-  *     action into unbuilt caches just like concurrent seal jobs (see
-  *     persistEager).
+  *     in a pending list until the downstream consumer's action completes.
+  *     Release is BELT AND SUSPENDERS: consumers that know the contract
+  *     call `flushDeferred()` after their action (Bench/Verify do), and a
+  *     QueryExecutionListener auto-releases any pending scope whose output
+  *     plan a finished execution consumed — a third-party caller that
+  *     never heard of `flushDeferred` cannot leak persists past its own
+  *     action (round-5 "What's wrong" #1). Multi-exchange intermediates
+  *     keep their eager `persistEager` barrier even here — AQE races
+  *     sub-stages of a single action into unbuilt caches just like
+  *     concurrent seal jobs (see persistEager).
   *
   * Checkpointed outputs live as plain RDD blocks outside the SQL cache
   * manager and are reclaimed by the ContextCleaner once unreferenced, so
-  * after any concurrent-mode operator returns — and after any consumer
-  * flushes the deferred scopes it drained — the session's cache manager is
-  * empty (asserted by PlanShapeSpec).
+  * after any concurrent-mode operator returns — and after any consumer's
+  * deferred-scope release — the session's cache manager is empty (asserted
+  * by PlanShapeSpec).
   */
 final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val lazyFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` (MEMORY_AND_DISK) for the life of this scope. */
   def persist(df: DataFrame): DataFrame = {
     frames += df
+    lazyFrames += df
     df.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -59,17 +64,38 @@ final class CacheScope {
     * future, overlapped with the other candidate sources. */
   def persistEager(df: DataFrame): DataFrame = {
     val p = persist(df)
+    lazyFrames.remove(lazyFrames.length - 1)
     p.count()
     p
   }
 
-  def close(): Unit = {
+  /** Lazily-persisted frames whose cache has NOT been built yet — i.e. no
+    * eager barrier's lineage covered them. Uses the InMemoryRelation's
+    * cache-builder state (reflective: `cacheBuilder` /
+    * `isCachedColumnBuffersLoaded` are private[sql], which is public in
+    * bytecode). A frame with no cache entry at all also reports unbuilt. */
+  private[util] def unbuiltLazyPersists(): Seq[DataFrame] =
+    lazyFrames.toSeq.filterNot { df =>
+      try {
+        df.queryExecution.withCachedData.collectFirst {
+          case r if r.getClass.getSimpleName == "InMemoryRelation" =>
+            val cb = r.getClass.getMethod("cacheBuilder").invoke(r)
+            cb.getClass.getMethod("isCachedColumnBuffersLoaded")
+              .invoke(cb).asInstanceOf[Boolean]
+        }.getOrElse(false)
+      } catch { case _: Throwable => true }
+    }
+
+  // synchronized: a deferred scope can be closed concurrently by the
+  // consumer's manual flushDeferred() and the async auto-release listener
+  def close(): Unit = synchronized {
     frames.foreach(_.unpersist(blocking = false))
     frames.clear()
+    lazyFrames.clear()
   }
 }
 
-object CacheScope {
+object CacheScope extends org.apache.spark.internal.Logging {
   /** Build one output inside a fresh scope, seal it, release the scope. */
   def seal(body: CacheScope => DataFrame): DataFrame =
     sealMany(s => Seq(body(s))).head
@@ -84,6 +110,15 @@ object CacheScope {
         val t = new Thread(r, "graft-seal"); t.setDaemon(true); t
       }))
 
+  /** Conf key for the concurrent-seal barrier check: "warn" (default) logs
+    * when a lazily-persisted frame is still unbuilt as concurrent seals
+    * submit; "throw" fails fast (specs/CI); "off" skips the check. */
+  val CheckSealBarriersKey = "spark.graft.checkSealBarriers"
+
+  /** Count of barrier violations detected (monotonic; for specs/metrics). */
+  private val barrierViolations = new java.util.concurrent.atomic.AtomicLong
+  def sealBarrierViolations: Long = barrierViolations.get()
+
   /** Build several outputs inside ONE fresh scope (they may share scoped
     * intermediates), seal each eagerly, release the scope.
     *
@@ -95,7 +130,12 @@ object CacheScope {
     * relied on "some downstream job will traverse them first" are exactly
     * the race `persistEager` exists to prevent.) Sequential seals paid the
     * sum of their barriers — the round-3 eager-seal regression on the
-    * pair-listing queries; concurrent seals pay roughly the max. */
+    * pair-listing queries; concurrent seals pay roughly the max.
+    *
+    * The invariant is CHECKED at runtime (round-5 ask #2): before the
+    * concurrent seals submit, any lazily-persisted frame whose cache is
+    * still unbuilt is reported per `spark.graft.checkSealBarriers`
+    * ("warn" default / "throw" / "off"). */
   def sealMany(body: CacheScope => Seq[DataFrame]): Seq[DataFrame] = {
     val scope = new CacheScope
     try {
@@ -104,25 +144,61 @@ object CacheScope {
       implicit val ec: scala.concurrent.ExecutionContext = sealEc
       val outs = body(scope)
       if (outs.sizeIs <= 1) outs.map(Seal(_))
-      else Await.result(
-        Future.sequence(outs.map(df => Future(Seal(df)))),
-        Duration.Inf)
+      else {
+        checkBarriers(scope, outs.head.sparkSession)
+        Await.result(
+          Future.sequence(outs.map(df => Future(Seal(df)))),
+          Duration.Inf)
+      }
     } finally scope.close()
   }
 
+  private def checkBarriers(scope: CacheScope, spark: SparkSession): Unit = {
+    val mode = spark.conf.getOption(CheckSealBarriersKey).getOrElse("warn")
+    if (mode == "off") return
+    val unbuilt = scope.unbuiltLazyPersists()
+    if (unbuilt.nonEmpty) {
+      barrierViolations.addAndGet(unbuilt.size)
+      val msg = s"sealMany: ${unbuilt.size} lazily-persisted frame(s) are " +
+        "unbuilt as concurrent seals submit — no persistEager barrier's " +
+        "lineage covers them, so racing seal jobs will recompute their " +
+        "subtrees (see CacheScope.persistEager). First schema: " +
+        unbuilt.head.schema.simpleString.take(200)
+      if (mode == "throw") throw new AssertionError(msg) else logWarning(msg)
+    }
+  }
+
+  // -------- deferred scopes --------
+
+  private final case class Pending(scope: CacheScope,
+                                   outputs: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
   // scopes whose persists outlive the operator call — released by the
-  // consumer via flushDeferred() after its action. ConcurrentLinkedQueue:
-  // deferred operators may be composed from multiple threads.
-  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[CacheScope]
+  // consumer via flushDeferred() after its action, or by the execution-end
+  // listener below. ConcurrentLinkedQueue: deferred operators may be
+  // composed from multiple threads.
+  private val pending = new java.util.concurrent.ConcurrentLinkedQueue[Pending]
+  // sessions that already carry the auto-release listener
+  private val listenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Build output(s) inside a fresh DEFERRED scope and return them LAZILY:
     * no checkpoint job. The scoped persists stay registered so the
-    * consumer's single action still reuses every shared intermediate; the
-    * consumer releases them afterwards with `flushDeferred()` (Bench/Verify
-    * do this after every query action; a composed query may hold several
-    * deferred scopes at once, e.g. q_doc_pipeline's three candidate
-    * sources). `persistEager` barriers still run eagerly — see its doc for
-    * why one consumer action is not one traversal under AQE.
+    * consumer's single action still reuses every shared intermediate, and
+    * are released by EITHER of two paths (both idempotent):
+    *   - the consumer calls `flushDeferred()` after its action (Bench and
+    *     Verify do this after every query; a composed query may hold
+    *     several deferred scopes at once, e.g. q_doc_pipeline's three
+    *     candidate sources), or
+    *   - the auto-release listener: a QueryExecutionListener installed on
+    *     the session releases any pending scope whose output plan the
+    *     finished execution contains — so a caller that runs its one
+    *     action and never flushes cannot leak persists (the persists die
+    *     with the action that consumed them). An execution that does NOT
+    *     contain a scope's output (e.g. another operator's persistEager
+    *     barrier while a composed query is still being BUILT) leaves the
+    *     scope pending — composition stays safe.
+    * `persistEager` barriers still run eagerly — see its doc for why one
+    * consumer action is not one traversal under AQE.
     *
     * This is the single-consumer fast path: a query surface skips the
     * output materialization the flagship needs (its sources race
@@ -134,14 +210,50 @@ object CacheScope {
     val out =
       try body(scope)
       catch { case t: Throwable => scope.close(); throw t }
-    pending.add(scope)
+    val outFrames = collectFrames(out)
+    outFrames.headOption.foreach(df => installListener(df.sparkSession))
+    pending.add(Pending(scope, outFrames.map(_.queryExecution.analyzed)))
     out
   }
 
+  private def collectFrames(out: Any): Seq[DataFrame] = out match {
+    case d: DataFrame => Seq(d)
+    case p: Product =>
+      p.productIterator.collect { case d: DataFrame => d }.toSeq
+    case s: Seq[_] => s.collect { case d: DataFrame => d }
+    case _ => Nil
+  }
+
+  private def installListener(spark: SparkSession): Unit =
+    if (listenerInstalled.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit = release(qe)
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = release(qe)
+        })
+    }
+
+  /** Release every pending scope whose output plan `qe` consumed. */
+  private def release(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+    val it = pending.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val consumed =
+        try p.outputs.exists(o => qe.analyzed.exists(n => n.sameResult(o)))
+        catch { case _: Throwable => false }
+      if (consumed) { it.remove(); p.scope.close() }
+    }
+  }
+
   /** Release every pending deferred scope's persists. Call after the
-    * action that consumed the deferred operator output(s). Idempotent. */
+    * action that consumed the deferred operator output(s). Idempotent
+    * (the auto-release listener may already have drained some or all). */
   def flushDeferred(): Unit = {
     var s = pending.poll()
-    while (s != null) { s.close(); s = pending.poll() }
+    while (s != null) { s.scope.close(); s = pending.poll() }
   }
 }

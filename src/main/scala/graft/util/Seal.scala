@@ -22,11 +22,56 @@ import org.apache.spark.sql.DataFrame
   * zero-copy behavior; the flagship-equivalence spec (SealSpec) runs the
   * full pipeline under the reliable mode.
   */
-object Seal {
+object Seal extends org.apache.spark.internal.Logging {
 
   /** Spark conf key: when set, seals become reliable checkpoints rooted at
     * this directory. */
   val ConfKey = "spark.graft.checkpoint.dir"
+
+  /** Count of reliable-mode leak warnings emitted (for specs/metrics). */
+  private val leakWarningsCounter = new java.util.concurrent.atomic.AtomicLong
+  def leakWarnings: Long = leakWarningsCounter.get()
+  // warn once per SparkContext, not per seal — reliable runs seal hundreds
+  // of frames and the mitigation is a session-level conf
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def resetLeakWarningsForTest(): Unit = {
+    warned.clear(); leakWarningsCounter.set(0)
+  }
+  private[graft] def warnCheckForTest(spark: org.apache.spark.sql.SparkSession): Unit =
+    warnIfLeaky(spark)
+
+  /** Round-5 ask #5: reliable-mode checkpoint FILES leak unless the session
+    * was built with spark.cleaner.referenceTracking.cleanCheckpoints=true
+    * (must be set before SparkContext start) or ConfKey points at a per-run
+    * directory the deployment deletes itself. Document-only was not enough
+    * — warn at runtime, once per context, when neither mitigation is
+    * visible. */
+  /** Graft-owned runtime conf: a deployment that manages checkpoint-file
+    * lifecycle itself (ConfKey → per-run directory, deleted after the
+    * run's stage snapshots commit) sets this to "true" to acknowledge the
+    * leak is handled and silence the warning. (The core cleanCheckpoints
+    * conf cannot be read back as a declaration — Spark 4 forbids setting
+    * core confs at runtime, so a post-start acknowledgement needs its own
+    * key.) */
+  val FilesManagedKey = "spark.graft.checkpoint.filesManaged"
+
+  private def warnIfLeaky(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    // the context conf is what the ContextCleaner actually reads
+    val cleans = sc.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", false) ||
+      spark.conf.getOption(FilesManagedKey).contains("true")
+    if (!cleans && warned.add(sc.applicationId)) {
+      leakWarningsCounter.incrementAndGet()
+      logWarning(s"reliable seal mode ($ConfKey is set) without " +
+        "spark.cleaner.referenceTracking.cleanCheckpoints=true: checkpoint " +
+        "files under the checkpoint dir will NOT be reclaimed by the " +
+        "ContextCleaner. Either set that conf before SparkContext start, or " +
+        s"point $ConfKey at a per-run directory and delete it after the " +
+        "run's stage snapshots commit (see Seal scaladoc).")
+    }
+  }
 
   /** Materialize `df` (eagerly or lazily) with lineage truncation —
     * localCheckpoint by default, reliable checkpoint when `ConfKey` is set.
@@ -53,6 +98,7 @@ object Seal {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
+        warnIfLeaky(spark)
         val sc = spark.sparkContext
         // setCheckpointDir mints a fresh UUID subdir per call — set once
         // (a mid-session conf change keeps the first directory)

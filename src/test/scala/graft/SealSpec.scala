@@ -23,9 +23,14 @@ class SealSpec extends SparkSpec {
     val local = actions()
     val ckptDir = Files.createTempDirectory("graft_reliable_ckpt").toString
     spark.conf.set(Seal.ConfKey, ckptDir)
+    Seal.resetLeakWarningsForTest()
     try {
       val reliable = actions()
       assert(reliable == local, "reliable-checkpoint mode must not change results")
+      // round-6: the file-leak warning fires during a real reliable run
+      // (this session has neither cleanCheckpoints nor the managed ack)
+      assert(Seal.leakWarnings == 1,
+        s"expected the checkpoint-leak warning once, got ${Seal.leakWarnings}")
       // the mode actually wrote reliable checkpoint data
       import scala.jdk.CollectionConverters._
       val s = Files.walk(java.nio.file.Paths.get(ckptDir))
