@@ -10,7 +10,7 @@ import graft.schema.ImageRow
   * relationships (FIXTURES.md §1). No wall-clock, no external data: every
   * row is a pure function of (seed, clusterId, variantId), so the corpus is
   * identical regardless of partitioning / parallelism — required for the
-  * local[8]-vs-local[32] scaling evidence to compare like with like.
+  * local[4]-vs-local[16] scaling evidence to compare like with like.
   *
   * Cluster plan, by clusterId % 10 (a "decade" = 20 rows):
   *   0-3  singleton negatives (incl. an adversarial same-caption+same-size
