@@ -58,7 +58,18 @@ object DocOps {
     // per side and regressed the query ~1 s at sf0.1 — the barrier job is
     // cheaper than the double compute, and the cached frame lets AQE
     // broadcast one side of the self-join (no exchange at all).
+    // explicit repartition WITH a pinned count where the window's exchange
+    // would otherwise sit: AQE's coalescing is bytes-based, and under the
+    // Tuning confs the ~tens-of-MB exploded frame coalesces to ~1-2
+    // partitions — but the row_number sort over it, and every downstream
+    // stage inheriting the cache's partitioning (the Σ df² candidate join +
+    // exact-Jaccard verify), are compute-heavy far beyond their bytes
+    // (measured round 6: single-threaded window+verify, +1 s at sf0.1).
+    // The window reuses the pinned partitioning, so no exchange is added;
+    // defaultParallelism scales with the cluster.
+    val nPar = docs.sparkSession.sparkContext.defaultParallelism
     val prefix = scope.persistEager(exploded.join(freq, Seq("s"), "left")
+      .repartition(nPar, col("doc_id"))
       .withColumn("_rk", row_number().over(wDoc))
       .where(col("_rk") <= col("nt") - expr(s"(nt * $thresholdPct + 99) DIV 100") + 1)
       .select("doc_id", "s"))

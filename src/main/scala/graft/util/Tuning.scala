@@ -40,5 +40,14 @@ object Tuning {
       sys.env.getOrElse("SPARK_GRAFT_ADVISORY_SHUFFLE", "8m"))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst",
       sys.env.getOrElse("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "false"))
+    // without this, AQE (and so partition coalescing) is DISABLED inside
+    // cached-plan materialization: every scoped persist built through a
+    // shuffle keeps the static spark.sql.shuffle.partitions count, and all
+    // its consumer map stages inherit it — measured as six concurrent
+    // 32-task stages with ~1 ms of work per task on the sf0.1 pair
+    // listings. With it, a tiny cached frame coalesces like any other
+    // exchange (the advisory size governs, so big caches keep parallelism).
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      sys.env.getOrElse("SPARK_GRAFT_CACHED_PLAN_AQE", "true"))
   }
 }
